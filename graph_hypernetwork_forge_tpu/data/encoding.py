@@ -71,7 +71,16 @@ def dedup_texts(edge_texts: Sequence[str]) -> Tuple[List[str], np.ndarray]:
     """Order-preserving dedup → (unique_texts, per-edge relation ids).
 
     First-occurrence order matches reference ``models/hypergnn.py:264-268``.
+    Uses the native C++ single-pass implementation when available
+    (``native/ghf_native.cpp``); pure-Python fallback otherwise.
     """
+    from graph_hypernetwork_forge_tpu.native_bridge import get_native
+
+    native = get_native()
+    if native is not None and not isinstance(edge_texts, np.ndarray):
+        unique, rel_ids = native.dedup_and_ids(list(edge_texts))
+        return unique, rel_ids
+
     text_to_idx: dict = {}
     rel_ids = np.empty(len(edge_texts), dtype=np.int32)
     for i, t in enumerate(edge_texts):

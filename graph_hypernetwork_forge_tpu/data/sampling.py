@@ -54,10 +54,18 @@ class NeighborSampler:
         self.src = edge_index[0].astype(np.int64)
         self.dst = edge_index[1].astype(np.int64)
         # CSR over dst: in-edges of node v are edge ids csr_eid[ptr[v]:ptr[v+1]].
-        order = np.argsort(self.dst, kind="stable")
-        self._csr_eid = order
-        counts = np.bincount(self.dst, minlength=self.num_nodes)
-        self._csr_ptr = np.concatenate([[0], np.cumsum(counts)])
+        from graph_hypernetwork_forge_tpu.native_bridge import get_native
+
+        native = get_native()
+        if native is not None:
+            self._csr_ptr, self._csr_eid = native.build_csr(
+                self.dst, self.num_nodes
+            )
+        else:
+            order = np.argsort(self.dst, kind="stable")
+            self._csr_eid = order
+            counts = np.bincount(self.dst, minlength=self.num_nodes)
+            self._csr_ptr = np.concatenate([[0], np.cumsum(counts)])
 
     def in_edges(self, node: int) -> np.ndarray:
         lo, hi = self._csr_ptr[node], self._csr_ptr[node + 1]

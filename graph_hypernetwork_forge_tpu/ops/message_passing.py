@@ -132,6 +132,13 @@ def relational_message_passing(
     chosen = _pick_backend(backend, n, u, e)
 
     if chosen == "pallas":
+        d_in, d_out = int(w_msg.shape[1]), int(w_msg.shape[2])
+        if jax.default_backend() == "tpu" and (d_in % 128 or d_out % 128):
+            # Mosaic compiles sub-lane-width (d < 128) blocks pathologically
+            # slowly on this stack; the dense path is faster there anyway.
+            chosen = "dense"
+
+    if chosen == "pallas":
         from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
             edge_contributions_pallas,
         )

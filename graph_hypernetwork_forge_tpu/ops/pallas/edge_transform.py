@@ -125,16 +125,17 @@ def _edge_transform_fwd_impl(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_e, d_in), lambda t: (t, 0)),
-            pl.BlockSpec((tile_e, d_in), lambda t: (t, 0)),
-            pl.BlockSpec((tile_e, 1), lambda t: (t, 0)),
-            pl.BlockSpec((u, d_in, d_out), lambda t: (0, 0, 0)),
-            pl.BlockSpec((u, d_in, d_out), lambda t: (0, 0, 0)),
-            pl.BlockSpec((u, d_out), lambda t: (0, 0)),
+            # index_map args: (grid idx, *scalar-prefetch refs)
+            pl.BlockSpec((tile_e, d_in), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((tile_e, 1), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((u, d_in, d_out), lambda t, lo, hi: (0, 0, 0)),
+            pl.BlockSpec((u, d_in, d_out), lambda t, lo, hi: (0, 0, 0)),
+            pl.BlockSpec((u, d_out), lambda t, lo, hi: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tile_e, d_out), lambda t: (t, 0)),
-            pl.BlockSpec((tile_e, d_out), lambda t: (t, 0)),
+            pl.BlockSpec((tile_e, d_out), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((tile_e, d_out), lambda t, lo, hi: (t, 0)),
         ],
     )
     msg, selfc = pl.pallas_call(
@@ -210,11 +211,11 @@ def _segment_outer_impl(x, g, rel_sorted, num_rel, *, tile_e=DEFAULT_TILE_E,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_e, d_in), lambda t: (t, 0)),
-            pl.BlockSpec((tile_e, d_out), lambda t: (t, 0)),
-            pl.BlockSpec((tile_e, 1), lambda t: (t, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((tile_e, d_out), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((tile_e, 1), lambda t, lo, hi: (t, 0)),
         ],
-        out_specs=pl.BlockSpec((num_rel, d_in, d_out), lambda t: (0, 0, 0)),
+        out_specs=pl.BlockSpec((num_rel, d_in, d_out), lambda t, lo, hi: (0, 0, 0)),
     )
     return pl.pallas_call(
         _segment_outer_kernel,

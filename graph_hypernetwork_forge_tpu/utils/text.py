@@ -24,7 +24,15 @@ def tokenize_texts(
 
     ``L`` is the max length padded up to ``pad_multiple`` for shape
     stability; padded positions hold code 0 and are masked out by length.
+    Uses the native C++ batch tokenizer when available
+    (``native/ghf_native.cpp``).
     """
+    from graph_hypernetwork_forge_tpu.native_bridge import get_native
+
+    native = get_native()
+    if native is not None:
+        return native.tokenize_batch(list(texts), int(pad_multiple))
+
     codes: List[List[int]] = []
     for t in texts:
         c = [min(ord(ch), ASCII_VOCAB - 1) for ch in t]
