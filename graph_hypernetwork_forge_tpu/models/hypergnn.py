@@ -76,6 +76,9 @@ class HyperGNNConfig:
     char_emb_dim: int = 32
     backend: Backend = "auto"
     precision: str = "highest"
+    # Rematerialize each layer in backward (jax.checkpoint): trades FLOPs
+    # for HBM on deep models — the TPU equivalent of activation checkpointing.
+    remat: bool = False
 
     def __post_init__(self):
         if self.num_layers < 1:
@@ -150,14 +153,11 @@ def apply_hypergnn(
     )
 
     n = node_features.shape[0]
-    per_layer: List[jax.Array] = []
-    for layer_idx in range(config.num_layers):
-        gen_rng = drop_rng = None
-        if use_dropout:
-            rng, gen_rng, drop_rng = jax.random.split(rng, 3)
+
+    def layer_fn(h, layer_params, norm_params, gen_rng, drop_rng):
         weights = apply_weight_generator(
             config.weight_generator,
-            params["weight_generators"][layer_idx],
+            layer_params,
             text_embs,
             train=train,
             rng=gen_rng,
@@ -180,7 +180,23 @@ def apply_hypergnn(
         if use_dropout:
             keep = jax.random.bernoulli(drop_rng, 1.0 - config.dropout, h_new.shape)
             h_new = jnp.where(keep, h_new / (1.0 - config.dropout), 0.0)
-        h = layer_norm_apply(params["layer_norms"][layer_idx], h_new)
+        return layer_norm_apply(norm_params, h_new)
+
+    if config.remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+
+    per_layer: List[jax.Array] = []
+    for layer_idx in range(config.num_layers):
+        gen_rng = drop_rng = None
+        if use_dropout:
+            rng, gen_rng, drop_rng = jax.random.split(rng, 3)
+        h = layer_fn(
+            h,
+            params["weight_generators"][layer_idx],
+            params["layer_norms"][layer_idx],
+            gen_rng,
+            drop_rng,
+        )
         if return_all_layers:
             per_layer.append(h)
 

@@ -4,6 +4,13 @@ from graph_hypernetwork_forge_tpu.parallel.edge_partition import (
     edge_partitioned_message_passing,
 )
 from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh, mesh_axis_size
+from graph_hypernetwork_forge_tpu.parallel.node_partition import (
+    node_partitioned_message_passing,
+    partition_edges_by_dst,
+)
+from graph_hypernetwork_forge_tpu.parallel.relation_sharding import (
+    relation_sharded_generate,
+)
 from graph_hypernetwork_forge_tpu.parallel.sharding import (
     graph_array_shardings,
     hypergnn_param_shardings,
@@ -18,6 +25,9 @@ __all__ = [
     "hypergnn_param_shardings",
     "make_mesh",
     "mesh_axis_size",
+    "node_partitioned_message_passing",
+    "partition_edges_by_dst",
+    "relation_sharded_generate",
     "replicate",
     "shard_graph_arrays",
     "shard_params",
