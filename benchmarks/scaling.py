@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Scaling benchmark: edges/s across graph sizes (single chip).
+
+The reference's throughput collapses with E because it materializes
+``[E, d, d]`` per-edge weights (64.4 s forward at N=10k/E=100k — 1,552
+edges/s, BASELINE.md). This framework's relation-granularity formulation is
+O(E·d) per edge, so throughput should *rise* with E until compute-bound.
+
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, ".")
+
+from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
+from graph_hypernetwork_forge_tpu.models.hypergnn import (
+    HyperGNNConfig,
+    apply_hypergnn,
+    init_hypergnn,
+)
+from graph_hypernetwork_forge_tpu.training.train import make_train_step
+
+CONFIGS = [
+    # (name, N, E, U, d, reference edges/s note)
+    ("toy", 8, 11, 7, 32, None),
+    ("bench", 1_000, 10_000, 50, 64, 3_868.0),      # ref fwd+bwd
+    ("large", 10_000, 100_000, 50, 64, 1_552.0),     # ref fwd only!
+    ("xl", 50_000, 1_000_000, 237, 64, None),
+]
+
+
+def run_config(name, n, e, u, d, ref):
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ei = np.stack(
+        [rng.integers(0, n, size=e), rng.integers(0, n, size=e)]
+    ).astype(np.int64)
+    texts = [f"relation type number {i} with descriptive text" for i in range(u)]
+    etexts = [texts[i] for i in rng.integers(0, u, size=e)]
+    graph = encode_graph(ei, etexts, n)
+    arrays = tuple(jnp.asarray(a) for a in graph.arrays)
+
+    config = HyperGNNConfig(
+        text_dim=64, node_feat_dim=d, hidden_dim=d, num_layers=2
+    )
+    params = init_hypergnn(config, jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(config, optimizer)
+
+    r = jax.random.PRNGKey(1)
+    params, opt_state, loss = step(params, opt_state, feats, *arrays, r)
+    jax.block_until_ready(loss)
+
+    steps = max(5, min(50, 2_000_000 // e))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        r, sr = jax.random.split(r)
+        params, opt_state, loss = step(params, opt_state, feats, *arrays, sr)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    eps = steps * e / dt
+    out = {
+        "config": name,
+        "nodes": n,
+        "edges": e,
+        "relations": u,
+        "hidden": d,
+        "fwd_bwd_edges_per_s": round(eps, 1),
+        "step_ms": round(1e3 * dt / steps, 3),
+    }
+    if ref:
+        out["vs_reference"] = round(eps / ref, 1)
+    print(json.dumps(out))
+
+
+def main():
+    for cfg in CONFIGS:
+        run_config(*cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ from graph_hypernetwork_forge_tpu.training.objectives import (
 from graph_hypernetwork_forge_tpu.training.train import (
     TrainState,
     create_train_state,
+    make_multi_step,
     make_train_step,
     train,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "link_prediction_loss",
+    "make_multi_step",
     "make_train_step",
     "margin_ranking_loss",
     "train",

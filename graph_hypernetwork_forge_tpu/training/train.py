@@ -114,6 +114,63 @@ def make_train_step(
     return train_step
 
 
+def make_multi_step(
+    config: HyperGNNConfig,
+    optimizer: optax.GradientTransformation,
+    num_steps: int,
+    *,
+    margin: float = 1.0,
+) -> Callable:
+    """Fuse ``num_steps`` training steps into ONE XLA program via
+    ``lax.scan``.
+
+    Useful to drive K steps per host dispatch (e.g. K minibatches staged on
+    device). Note: measured on this TPU stack, pipelined single-step
+    dispatch already hides host latency (async dispatch), so scan is a
+    convenience, not a speedup, for full-graph training. Not donated:
+    donated carries trigger per-call relayout recompiles on this backend.
+
+    Returns ``(params, opt_state, node_features, *graph arrays, rng) →
+    (params, opt_state, losses [num_steps])``.
+    """
+
+    def loss_fn(params, node_features, src, dst, rel_ids, edge_mask, char_ids,
+                text_lengths, neg_dst, dropout_rng):
+        embs = apply_hypergnn(
+            config, params, node_features, src, dst, rel_ids, edge_mask,
+            char_ids, text_lengths,
+            train=config.dropout > 0.0, rng=dropout_rng,
+        )
+        return link_prediction_loss(
+            embs, src, dst, neg_dst, margin=margin, edge_mask=edge_mask
+        )
+
+    @jax.jit
+    def multi_step(params, opt_state, node_features, src, dst, rel_ids,
+                   edge_mask, char_ids, text_lengths, rng):
+        def body(carry, step_rng):
+            params, opt_state = carry
+            neg_rng, dropout_rng = jax.random.split(step_rng)
+            neg_dst = jax.random.randint(
+                neg_rng, src.shape, 0, node_features.shape[0], dtype=src.dtype
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, node_features, src, dst, rel_ids, edge_mask,
+                char_ids, text_lengths, neg_dst, dropout_rng,
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        step_rngs = jax.random.split(rng, num_steps)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), step_rngs
+        )
+        return params, opt_state, losses
+
+    return multi_step
+
+
 def train(
     config: HyperGNNConfig,
     params: Any,

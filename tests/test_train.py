@@ -1,0 +1,75 @@
+"""Training machinery tests: single step vs scan-fused multi-step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
+from graph_hypernetwork_forge_tpu.models.hypergnn import (
+    HyperGNNConfig,
+    init_hypergnn,
+)
+from graph_hypernetwork_forge_tpu.training import make_multi_step, make_train_step
+
+
+def setup():
+    rng = np.random.default_rng(0)
+    n, e, u = 16, 48, 4
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    ei = np.stack(
+        [rng.integers(0, n, size=e), rng.integers(0, n, size=e)]
+    ).astype(np.int64)
+    texts = [f"rel {i}" for i in range(u)]
+    etexts = [texts[i] for i in rng.integers(0, u, size=e)]
+    graph = encode_graph(ei, etexts, n)
+    return feats, graph
+
+
+class TestMultiStep:
+    def test_matches_sequential_single_steps(self):
+        """K scan-fused steps must equal K individually dispatched steps
+        given the same per-step rngs."""
+        feats, graph = setup()
+        config = HyperGNNConfig(text_dim=16, node_feat_dim=8, hidden_dim=16)
+        optimizer = optax.adam(1e-3)
+        arrays = tuple(jnp.asarray(a) for a in graph.arrays)
+        feats_j = jnp.asarray(feats)
+        k = 4
+        root = jax.random.PRNGKey(3)
+        step_rngs = jax.random.split(root, k)
+
+        # Sequential single steps (no donation side effects: fresh copies).
+        params = jax.tree_util.tree_map(
+            jnp.array, init_hypergnn(config, jax.random.PRNGKey(0))
+        )
+        opt_state = optimizer.init(params)
+        step = make_train_step(config, optimizer)
+        losses_seq = []
+        for i in range(k):
+            params, opt_state, loss = step(
+                params, opt_state, feats_j, *arrays, step_rngs[i]
+            )
+            losses_seq.append(float(loss))
+        params_seq = params
+
+        # Scan-fused.
+        params = jax.tree_util.tree_map(
+            jnp.array, init_hypergnn(config, jax.random.PRNGKey(0))
+        )
+        opt_state = optimizer.init(params)
+        multi = make_multi_step(config, optimizer, k)
+        params_scan, _, losses_scan = multi(
+            params, opt_state, feats_j, *arrays, root
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(losses_scan), losses_seq, atol=1e-6, rtol=1e-6
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params_seq),
+            jax.tree_util.tree_leaves(params_scan),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+            )
