@@ -84,28 +84,46 @@ class NeighborSampler:
         seeds = np.asarray(seed_nodes, dtype=np.int64)
         frontier = np.unique(seeds)
         chosen_eids: List[np.ndarray] = []
-        visited = set(frontier.tolist())
+        visited = np.zeros(self.num_nodes, dtype=bool)
+        visited[frontier] = True
 
+        from graph_hypernetwork_forge_tpu.native_bridge import get_native
+
+        native = get_native()
         for fanout in fanouts:
-            hop_eids = []
-            for v in frontier:
-                eids = self.in_edges(int(v))
-                if eids.size > fanout:
-                    eids = rng.choice(eids, size=fanout, replace=False)
-                hop_eids.append(eids)
-            hop = (
-                np.unique(np.concatenate(hop_eids))
-                if hop_eids
-                else np.empty(0, dtype=np.int64)
-            )
+            if native is not None:
+                # Single C++ pass over the frontier (Floyd's sampling per
+                # node); seed derived from the caller's Generator so runs
+                # stay reproducible per (rng, call) even though the native
+                # and Python paths draw different (equally valid) samples.
+                seed = int(rng.integers(0, 2**63 - 1))
+                hop = np.sort(
+                    native.sample_hop(
+                        self._csr_ptr,
+                        self._csr_eid,
+                        frontier.astype(np.int64),
+                        int(fanout),
+                        seed,
+                    )
+                )
+            else:
+                hop_eids = []
+                for v in frontier:
+                    eids = self.in_edges(int(v))
+                    if eids.size > fanout:
+                        eids = rng.choice(eids, size=fanout, replace=False)
+                    hop_eids.append(eids)
+                hop = (
+                    np.unique(np.concatenate(hop_eids))
+                    if hop_eids
+                    else np.empty(0, dtype=np.int64)
+                )
             chosen_eids.append(hop)
             next_frontier = np.unique(self.src[hop]) if hop.size else np.empty(
                 0, dtype=np.int64
             )
-            frontier = np.asarray(
-                [v for v in next_frontier if v not in visited], dtype=np.int64
-            )
-            visited.update(frontier.tolist())
+            frontier = next_frontier[~visited[next_frontier]]
+            visited[frontier] = True
 
         eids = (
             np.unique(np.concatenate(chosen_eids))
@@ -116,9 +134,9 @@ class NeighborSampler:
         sub_dst_g = self.dst[eids]
 
         node_ids = np.unique(np.concatenate([seeds, sub_src_g, sub_dst_g]))
-        remap = {int(g): i for i, g in enumerate(node_ids)}
-        local_src = np.asarray([remap[int(g)] for g in sub_src_g], dtype=np.int64)
-        local_dst = np.asarray([remap[int(g)] for g in sub_dst_g], dtype=np.int64)
+        # node_ids is sorted → local id = position via binary search.
+        local_src = np.searchsorted(node_ids, sub_src_g)
+        local_dst = np.searchsorted(node_ids, sub_dst_g)
         sub_texts = [self.edge_texts[int(e)] for e in eids]
 
         graph = encode_graph(
@@ -129,6 +147,6 @@ class NeighborSampler:
         return SubgraphBatch(
             graph=graph,
             node_ids=node_ids,
-            seed_local_ids=np.asarray([remap[int(s)] for s in seeds], dtype=np.int64),
+            seed_local_ids=np.searchsorted(node_ids, seeds),
             node_features=np.asarray(node_features)[node_ids],
         )

@@ -111,7 +111,6 @@ class MinibatchTrainer:
         batch = self.sampler.sample(
             seeds, spec.fanouts, self.node_features, rng=rng
         )
-        remap = {int(g): i for i, g in enumerate(batch.node_ids)}
 
         # Bucket-pad nodes for shape stability across steps.
         n_real = len(batch.node_ids)
@@ -129,8 +128,9 @@ class MinibatchTrainer:
         pos_dst = np.zeros(b, np.int32)
         pos_mask = np.zeros(b, np.float32)
         k = len(pos_ids)
-        pos_src[:k] = [remap[int(g)] for g in pos_src_g]
-        pos_dst[:k] = [remap[int(g)] for g in pos_dst_g]
+        # batch.node_ids is sorted (np.unique) → searchsorted gives local ids.
+        pos_src[:k] = np.searchsorted(batch.node_ids, pos_src_g)
+        pos_dst[:k] = np.searchsorted(batch.node_ids, pos_dst_g)
         pos_mask[:k] = 1.0
 
         return feats, graph, pos_src, pos_dst, pos_mask

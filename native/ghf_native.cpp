@@ -21,8 +21,10 @@
 
 #include <cstdint>
 #include <cstring>
+#include <random>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -244,6 +246,79 @@ static PyObject* sort_by_relation(PyObject*, PyObject* args) {
   return order_arr;
 }
 
+// sample_hop(ptr: int64[N+1], eid: int64[E], frontier: int64[F],
+//            fanout: int, seed: uint64) -> int64[] chosen edge ids
+// One neighbor-sampling hop: for each frontier node take all in-edges if
+// degree <= fanout, else a uniform sample without replacement (Floyd's
+// algorithm). Edge ids across nodes are disjoint (one dst per edge), so the
+// concatenated result is duplicate-free.
+static PyObject* sample_hop(PyObject*, PyObject* args) {
+  PyObject *ptr_obj, *eid_obj, *frontier_obj;
+  long long fanout;
+  unsigned long long seed;
+  if (!PyArg_ParseTuple(args, "OOOLK", &ptr_obj, &eid_obj, &frontier_obj,
+                        &fanout, &seed))
+    return nullptr;
+  PyArrayObject* ptr = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(ptr_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* eid = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(eid_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* frontier = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(frontier_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY));
+  if (!ptr || !eid || !frontier) {
+    Py_XDECREF(ptr);
+    Py_XDECREF(eid);
+    Py_XDECREF(frontier);
+    return nullptr;
+  }
+  const int64_t* p = static_cast<const int64_t*>(PyArray_DATA(ptr));
+  const int64_t* e = static_cast<const int64_t*>(PyArray_DATA(eid));
+  const int64_t* f = static_cast<const int64_t*>(PyArray_DATA(frontier));
+  Py_ssize_t n_nodes = PyArray_SIZE(ptr) - 1;
+  Py_ssize_t n_frontier = PyArray_SIZE(frontier);
+
+  std::mt19937_64 gen(seed);
+  std::vector<int64_t> out;
+  out.reserve(static_cast<size_t>(n_frontier) *
+              static_cast<size_t>(fanout > 0 ? fanout : 1));
+  std::unordered_set<int64_t> picked;
+  for (Py_ssize_t i = 0; i < n_frontier; ++i) {
+    int64_t v = f[i];
+    if (v < 0 || v >= n_nodes) {
+      Py_DECREF(ptr);
+      Py_DECREF(eid);
+      Py_DECREF(frontier);
+      PyErr_Format(PyExc_ValueError, "frontier[%zd]=%lld out of range", i,
+                   static_cast<long long>(v));
+      return nullptr;
+    }
+    int64_t lo = p[v], hi = p[v + 1];
+    int64_t deg = hi - lo;
+    if (deg <= fanout) {
+      for (int64_t j = lo; j < hi; ++j) out.push_back(e[j]);
+    } else {
+      // Floyd's sampling: fanout distinct offsets in [0, deg).
+      picked.clear();
+      for (int64_t j = deg - fanout; j < deg; ++j) {
+        std::uniform_int_distribution<int64_t> dist(0, j);
+        int64_t t = dist(gen);
+        if (!picked.insert(t).second) picked.insert(j), t = j;
+        out.push_back(e[lo + t]);
+      }
+    }
+  }
+  Py_DECREF(ptr);
+  Py_DECREF(eid);
+  Py_DECREF(frontier);
+
+  npy_intp dims[1] = {static_cast<npy_intp>(out.size())};
+  PyObject* arr = PyArray_SimpleNew(1, dims, NPY_INT64);
+  if (!arr) return nullptr;
+  std::memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(arr)), out.data(),
+              out.size() * sizeof(int64_t));
+  return arr;
+}
+
 static PyMethodDef Methods[] = {
     {"dedup_and_ids", dedup_and_ids, METH_VARARGS,
      "Order-preserving dedup of texts -> (unique, int32 ids)."},
@@ -253,6 +328,8 @@ static PyMethodDef Methods[] = {
      "Counting-sort CSR over dst -> (int64 ptr [N+1], int64 eid [E])."},
     {"sort_by_relation", sort_by_relation, METH_VARARGS,
      "Stable counting argsort of relation ids -> int64 order [E]."},
+    {"sample_hop", sample_hop, METH_VARARGS,
+     "One neighbor-sampling hop over CSR -> int64 chosen edge ids."},
     {nullptr, nullptr, 0, nullptr},
 };
 
