@@ -3,8 +3,16 @@
 
 Config mirrors BASELINE.md's measured reference row: N=1k nodes, E=10k edges,
 U=50 unique relation strings, hidden d=64, 2 layers, full-graph margin-ranking
-train step (forward + backward + Adam update). Reference (torch 2.13 CPU):
-3,868 edges/s. Prints ONE JSON line.
+train step (forward + backward + Adam). Reference (torch 2.13 CPU): 3,868
+edges/s. Prints ONE JSON line.
+
+Timing protocol: K training steps are fused into ONE XLA program
+(``make_multi_step``) and the per-step loss array is fetched to the host
+after each call — on this remote-TPU backend a value fetch is the only
+reliable synchronization (``block_until_ready`` has been observed not to
+wait for remote execution), and the fused program removes per-step dispatch
+from the measurement. The reported number is device-bound, steady-state
+training throughput with the loss trace as proof of real work.
 """
 
 import json
@@ -24,6 +32,8 @@ HIDDEN = 64
 TEXT_DIM = 64
 FEAT_DIM = 64
 LAYERS = 2
+STEPS_PER_CALL = 10
+REPS = 10
 
 
 def build_inputs():
@@ -35,18 +45,21 @@ def build_inputs():
             rng.integers(0, N_NODES, size=N_EDGES),
         ]
     ).astype(np.int64)
-    texts = [f"relation type number {i} with descriptive text" for i in range(N_RELATIONS)]
+    texts = [
+        f"relation type number {i} with descriptive text"
+        for i in range(N_RELATIONS)
+    ]
     edge_texts = [texts[i] for i in rng.integers(0, N_RELATIONS, size=N_EDGES)]
     return feats, edge_index, edge_texts
 
 
 def main() -> None:
+    from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
     from graph_hypernetwork_forge_tpu.models.hypergnn import (
         HyperGNNConfig,
         init_hypergnn,
     )
-    from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
-    from graph_hypernetwork_forge_tpu.training.train import make_train_step
+    from graph_hypernetwork_forge_tpu.training.train import make_multi_step
 
     feats, edge_index, edge_texts = build_inputs()
     config = HyperGNNConfig(
@@ -60,28 +73,27 @@ def main() -> None:
 
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(config, optimizer)
+    step_fn = make_multi_step(config, optimizer, STEPS_PER_CALL)
 
     feats_j = jnp.asarray(feats)
     arrays = tuple(jnp.asarray(a) for a in graph.arrays)
     rng = jax.random.PRNGKey(1)
 
-    # Warmup / compile.
-    params, opt_state, loss = step_fn(params, opt_state, feats_j, *arrays, rng)
-    jax.block_until_ready(loss)
+    # Warmup / compile; fetch forces execution.
+    params, opt_state, losses = step_fn(params, opt_state, feats_j, *arrays, rng)
+    np.asarray(losses)
 
-    n_steps = 50
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for _ in range(REPS):
         rng, step_rng = jax.random.split(rng)
-        params, opt_state, loss = step_fn(
+        params, opt_state, losses = step_fn(
             params, opt_state, feats_j, *arrays, step_rng
         )
-    jax.block_until_ready(loss)
+        np.asarray(losses)  # host fetch = true synchronization
     dt = time.perf_counter() - t0
 
-    steps_per_s = n_steps / dt
-    edges_per_s = steps_per_s * N_EDGES
+    total_steps = REPS * STEPS_PER_CALL
+    edges_per_s = total_steps * N_EDGES / dt
     print(
         json.dumps(
             {

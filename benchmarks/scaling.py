@@ -28,7 +28,10 @@ from graph_hypernetwork_forge_tpu.models.hypergnn import (
     apply_hypergnn,
     init_hypergnn,
 )
-from graph_hypernetwork_forge_tpu.training.train import make_train_step
+from graph_hypernetwork_forge_tpu.training.train import (
+    make_multi_step,
+    make_train_step,
+)
 
 CONFIGS = [
     # (name, N, E, U, d, reference edges/s note)
@@ -37,6 +40,11 @@ CONFIGS = [
     ("large", 10_000, 100_000, 50, 64, 1_552.0),     # ref fwd only!
     ("xl", 50_000, 1_000_000, 237, 64, None),
 ]
+
+# Wikidata5M-scale full-graph training step on ONE chip via the chunked
+# streaming backend (auto-selected past the dense memory budget). Run with
+# `python benchmarks/scaling.py --xxl`.
+XXL = ("xxl-wikidata5m-scale", 1_000_000, 10_000_000, 100, 64, None)
 
 
 def run_config(name, n, e, u, d, ref):
@@ -56,19 +64,43 @@ def run_config(name, n, e, u, d, ref):
     params = init_hypergnn(config, jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
-    step = make_train_step(config, optimizer)
-
+    # Past ~1M edges, score a subsample of positives per step (unbiased);
+    # scoring all E materializes O(E·d) gathers and OOMs at Wikidata scale.
+    num_pos = 262_144 if e > 2_000_000 else None
     r = jax.random.PRNGKey(1)
-    params, opt_state, loss = step(params, opt_state, feats, *arrays, r)
-    jax.block_until_ready(loss)
 
-    steps = max(5, min(50, 2_000_000 // e))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        r, sr = jax.random.split(r)
-        params, opt_state, loss = step(params, opt_state, feats, *arrays, sr)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # Timing protocol (see bench.py): on this backend only a host value
+    # fetch truly synchronizes, so either fuse K steps into one program
+    # (small configs) or fetch the loss every step (huge configs where the
+    # ~30 ms fetch round-trip is negligible).
+    if e <= 2_000_000:
+        k = 5
+        step = make_multi_step(config, optimizer, k)
+        params, opt_state, losses = step(params, opt_state, feats, *arrays, r)
+        np.asarray(losses)
+        reps = max(2, min(10, 1_000_000 // e))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r, sr = jax.random.split(r)
+            params, opt_state, losses = step(
+                params, opt_state, feats, *arrays, sr
+            )
+            np.asarray(losses)
+        dt = time.perf_counter() - t0
+        steps = reps * k
+    else:
+        step = make_train_step(config, optimizer, num_pos_samples=num_pos)
+        params, opt_state, loss = step(params, opt_state, feats, *arrays, r)
+        float(loss)
+        steps = 3
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r, sr = jax.random.split(r)
+            params, opt_state, loss = step(
+                params, opt_state, feats, *arrays, sr
+            )
+            float(loss)
+        dt = time.perf_counter() - t0
     eps = steps * e / dt
     out = {
         "config": name,
@@ -85,7 +117,10 @@ def run_config(name, n, e, u, d, ref):
 
 
 def main():
-    for cfg in CONFIGS:
+    configs = list(CONFIGS)
+    if "--xxl" in sys.argv:
+        configs = [XXL]
+    for cfg in configs:
         run_config(*cfg)
 
 

@@ -47,10 +47,168 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graph_hypernetwork_forge_tpu.ops.segment import segment_mean_clamped
 
-Backend = Literal["auto", "dense", "gather", "pallas"]
+Backend = Literal["auto", "dense", "gather", "pallas", "chunked"]
+
+# Peak-memory budget (floats) for the dense backend's [U, N, d] product;
+# beyond this `auto` switches to the chunked streaming path. 1G floats =
+# 4 GiB per bank — measured to fit fwd+bwd on a 16 GiB v5e at the xl config
+# (U=237, N=50k, d=64 → 758M floats, 484M edges/s).
+_DENSE_BUDGET_ELEMENTS = 1 << 30
+
+
+def _edge_contributions_chunk(h, src_c, dst_c, rel_c, w_msg, w_self, bias,
+                              precision):
+    """Per-edge contributions for ONE edge chunk via weight gather.
+
+    Peak memory O(chunk · d²) — independent of E and N. Used by the
+    ``chunked`` streaming backend for huge full-graph passes.
+    """
+    msg = (
+        jnp.einsum("ed,edo->eo", h[src_c], w_msg[rel_c], precision=precision)
+        + bias[rel_c]
+    )
+    self_contrib = jnp.einsum(
+        "ed,edo->eo", h[dst_c], w_self[rel_c], precision=precision
+    )
+    return msg, self_contrib
+
+
+def _chunk_pad(arrs, edge_mask, e, dtype, chunk_size):
+    n_chunks = -(-e // chunk_size)
+    e_pad = n_chunks * chunk_size
+    if edge_mask is None:
+        edge_mask = jnp.ones(e, dtype)
+    if e_pad != e:
+        pad = e_pad - e
+        arrs = tuple(jnp.pad(a, (0, pad)) for a in arrs)
+        edge_mask = jnp.pad(edge_mask, (0, pad))
+    return arrs, edge_mask, n_chunks
+
+
+def _slice_chunk(arr, i, chunk_size):
+    return jax.lax.dynamic_slice(arr, (i * chunk_size,), (chunk_size,))
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _mp_chunked(h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask,
+                n, chunk_size, precision=None):
+    """Streaming message passing: edges processed in fixed chunks with
+    accumulators updated in place — peak memory O(chunk·d²) + O(N·d),
+    enabling full-graph passes at millions of edges on one chip.
+
+    Custom VJP: the naive reverse-mode of the chunk loop would stack each
+    iteration's gathered ``[chunk, d, d]`` weights as scan residuals
+    (hundreds of GB at Wikidata5M scale); instead the backward re-streams
+    the edges, recomputing chunk terms and accumulating ``dh``, ``dW``,
+    ``dbias`` in O(chunk·d²) transients.
+
+    ``n`` and ``chunk_size`` are static; integer edge arrays and the mask
+    receive zero cotangents (graph structure is not differentiated).
+    """
+    out, _ = _mp_chunked_fwd_impl(
+        h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask, n, chunk_size,
+        precision,
+    )
+    return out
+
+
+def _mp_chunked_fwd_impl(h, src, dst, rel_ids, w_msg, w_self, bias,
+                         edge_mask, n, chunk_size, precision):
+    e = src.shape[0]
+    d_out = w_msg.shape[-1]
+    (src_p, dst_p, rel_p), mask_p, n_chunks = _chunk_pad(
+        (src, dst, rel_ids), edge_mask, e, h.dtype, chunk_size
+    )
+
+    def body(i, carry):
+        agg, selft, cnt = carry
+        src_c = _slice_chunk(src_p, i, chunk_size)
+        dst_c = _slice_chunk(dst_p, i, chunk_size)
+        rel_c = _slice_chunk(rel_p, i, chunk_size)
+        mask_c = _slice_chunk(mask_p, i, chunk_size)
+        msg, selfc = _edge_contributions_chunk(
+            h, src_c, dst_c, rel_c, w_msg, w_self, bias, precision
+        )
+        agg = agg.at[dst_c].add(msg * mask_c[:, None])
+        selft = selft.at[dst_c].add(selfc * mask_c[:, None])
+        cnt = cnt.at[dst_c].add(mask_c)
+        return agg, selft, cnt
+
+    agg = jnp.zeros((n, d_out), h.dtype)
+    selft = jnp.zeros((n, d_out), h.dtype)
+    cnt = jnp.zeros((n,), h.dtype)
+    agg, selft, cnt = jax.lax.fori_loop(0, n_chunks, body, (agg, selft, cnt))
+    cnt = jnp.maximum(cnt, 1.0)
+    out = (agg + selft) / cnt[:, None]
+    return out, cnt
+
+
+def _mp_chunked_fwd(h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask,
+                    n, chunk_size, precision):
+    out, cnt = _mp_chunked_fwd_impl(
+        h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask, n, chunk_size,
+        precision,
+    )
+    return out, (h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask, cnt)
+
+
+def _mp_chunked_bwd(n, chunk_size, precision, residuals, g):
+    h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask, cnt = residuals
+    e = src.shape[0]
+    u, d_in, d_out = w_msg.shape
+    (src_p, dst_p, rel_p), mask_p, n_chunks = _chunk_pad(
+        (src, dst, rel_ids), edge_mask, e, h.dtype, chunk_size
+    )
+    g_over_cnt = g / cnt[:, None]  # [N, d_out]
+
+    def body(i, carry):
+        dh, dw_msg, dw_self, dbias = carry
+        src_c = _slice_chunk(src_p, i, chunk_size)
+        dst_c = _slice_chunk(dst_p, i, chunk_size)
+        rel_c = _slice_chunk(rel_p, i, chunk_size)
+        mask_c = _slice_chunk(mask_p, i, chunk_size)
+        ge = g_over_cnt[dst_c] * mask_c[:, None]  # [chunk, d_out]
+        wm_c = w_msg[rel_c]  # [chunk, d_in, d_out]
+        ws_c = w_self[rel_c]
+        x_src = h[src_c]  # [chunk, d_in]
+        x_dst = h[dst_c]
+        # dh contributions.
+        dh = dh.at[src_c].add(jnp.einsum("eo,edo->ed", ge, wm_c, precision=precision))
+        dh = dh.at[dst_c].add(jnp.einsum("eo,edo->ed", ge, ws_c, precision=precision))
+        # dW / dbias via relation-segment accumulation within the chunk.
+        dw_msg = dw_msg + jax.ops.segment_sum(
+            jnp.einsum("ed,eo->edo", x_src, ge, precision=precision),
+            rel_c, num_segments=u,
+        )
+        dw_self = dw_self + jax.ops.segment_sum(
+            jnp.einsum("ed,eo->edo", x_dst, ge, precision=precision),
+            rel_c, num_segments=u,
+        )
+        dbias = dbias + jax.ops.segment_sum(ge, rel_c, num_segments=u)
+        return dh, dw_msg, dw_self, dbias
+
+    dh = jnp.zeros_like(h)
+    dw_msg = jnp.zeros_like(w_msg)
+    dw_self = jnp.zeros_like(w_self)
+    dbias = jnp.zeros_like(bias)
+    dh, dw_msg, dw_self, dbias = jax.lax.fori_loop(
+        0, n_chunks, body, (dh, dw_msg, dw_self, dbias)
+    )
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    dmask = (
+        None if edge_mask is None else jnp.zeros_like(edge_mask)
+    )
+    return dh, f0(src), f0(dst), f0(rel_ids), dw_msg, dw_self, dbias, dmask
+
+
+_mp_chunked.defvjp(_mp_chunked_fwd, _mp_chunked_bwd)
 
 
 def _edge_contributions_dense(h, src, dst, rel_ids, w_msg, w_self, bias, precision):
@@ -78,13 +236,17 @@ def _edge_contributions_gather(h, src, dst, rel_ids, w_msg, w_self, bias, precis
     return msg, self_contrib
 
 
-def _pick_backend(backend: Backend, num_nodes: int, num_rel: int, num_edges: int):
+def _pick_backend(
+    backend: Backend, num_nodes: int, num_rel: int, num_edges: int, d_out: int
+):
     if backend != "auto":
         return backend
-    # Dense costs O(U·N·d²) flops on the MXU; gather costs O(E·d²) flops as
-    # scalar-ish matvecs plus O(E·d²) HBM traffic for the weight gather. The
-    # MXU advantage makes dense win unless the graph is extremely sparse
-    # relative to the relation vocabulary.
+    # Dense costs O(U·N·d²) flops on the MXU but materializes [U, N, d];
+    # past the memory budget stream edge chunks instead. Gather costs
+    # O(E·d²) HBM traffic for the weight gather — only wins when the graph
+    # is extremely sparse relative to the relation vocabulary.
+    if num_rel * num_nodes * d_out > _DENSE_BUDGET_ELEMENTS:
+        return "chunked"
     if num_rel * num_nodes <= 32 * num_edges:
         return "dense"
     return "gather"
@@ -129,7 +291,13 @@ def relational_message_passing(
     n = int(h.shape[0]) if num_nodes is None else num_nodes
     u = int(w_msg.shape[0])
     e = int(src.shape[0])
-    chosen = _pick_backend(backend, n, u, e)
+    chosen = _pick_backend(backend, n, u, e, int(w_msg.shape[-1]))
+
+    if chosen == "chunked":
+        return _mp_chunked(
+            h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask, n, 32_768,
+            precision,
+        )
 
     if chosen == "pallas":
         d_in, d_out = int(w_msg.shape[1]), int(w_msg.shape[2])

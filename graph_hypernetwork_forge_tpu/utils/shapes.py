@@ -18,16 +18,18 @@ def round_up_to_multiple(x: int, m: int) -> int:
 
 
 def pad_bucket_edges(e: int) -> int:
-    """Bucket an edge count: multiples of 64 below 1024, powers of two above.
-
-    Keeps compile count logarithmic in E while wasting <50% padding.
+    """Bucket an edge count: multiples of 64 below 1024, powers of two up to
+    1M, multiples of 1M above (padding waste matters more than compile
+    count at that scale — full-graph E is fixed per dataset anyway).
     """
     if e <= 1024:
         return round_up_to_multiple(e, 64)
-    out = 1024
-    while out < e:
-        out *= 2
-    return out
+    if e <= 1 << 20:
+        out = 1024
+        while out < e:
+            out *= 2
+        return out
+    return round_up_to_multiple(e, 1 << 20)
 
 
 def pad_bucket_relations(u: int) -> int:

@@ -143,3 +143,54 @@ class TestMessagePassing:
         for g in grads:
             assert bool(jnp.any(g != 0))
             assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestChunkedBackend:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_oracle(self, seed):
+        case = make_random_case(seed, e=100)
+        want = numpy_oracle(*case)
+        got = relational_message_passing(
+            *(jnp.asarray(x) for x in case), backend="chunked"
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+    def test_masked_matches_dense(self):
+        h, src, dst, rel, w_msg, w_self, bias = make_random_case(7, e=50)
+        mask = np.zeros(50, dtype=np.float32)
+        mask[:31] = 1.0
+        args = [jnp.asarray(x) for x in (h, src, dst, rel, w_msg, w_self, bias)]
+        want = relational_message_passing(
+            *args, edge_mask=jnp.asarray(mask), backend="dense"
+        )
+        got = relational_message_passing(
+            *args, edge_mask=jnp.asarray(mask), backend="chunked"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_grad_flows_through_chunked(self):
+        case = make_random_case(8, e=70)
+        h, src, dst, rel, w_msg, w_self, bias = (jnp.asarray(x) for x in case)
+
+        def loss(h, w_msg, w_self, bias):
+            out = relational_message_passing(
+                h, src, dst, rel, w_msg, w_self, bias, backend="chunked"
+            )
+            return jnp.sum(out**2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(h, w_msg, w_self, bias)
+        ref = jax.grad(
+            lambda h, a, b, c: jnp.sum(
+                relational_message_passing(
+                    h, src, dst, rel, a, b, c, backend="dense"
+                )
+                ** 2
+            ),
+            argnums=(0, 1, 2, 3),
+        )(h, w_msg, w_self, bias)
+        for g, w in zip(grads, ref):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4
+            )
