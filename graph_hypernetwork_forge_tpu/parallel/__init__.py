@@ -4,6 +4,10 @@ from graph_hypernetwork_forge_tpu.parallel.edge_partition import (
     edge_partitioned_message_passing,
 )
 from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh, mesh_axis_size
+from graph_hypernetwork_forge_tpu.parallel.pipeline import (
+    pipelined_forward,
+    stack_layer_params,
+)
 from graph_hypernetwork_forge_tpu.parallel.node_partition import (
     node_partitioned_message_passing,
     partition_edges_by_dst,
@@ -27,7 +31,9 @@ __all__ = [
     "mesh_axis_size",
     "node_partitioned_message_passing",
     "partition_edges_by_dst",
+    "pipelined_forward",
     "relation_sharded_generate",
+    "stack_layer_params",
     "replicate",
     "shard_graph_arrays",
     "shard_params",

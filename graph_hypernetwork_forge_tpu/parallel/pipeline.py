@@ -1,0 +1,225 @@
+"""Pipeline parallelism: HyperGNN layers staged across a ``"pipe"`` mesh axis.
+
+The reference has no distributed code at all (SURVEY.md §2.3); its layer loop
+(`/root/reference/graph_hypernetwork_forge/models/hypergnn.py:272-296`) is the
+natural pipeline axis for deep GNNs. This module implements GPipe-style
+pipelining the idiomatic TPU way:
+
+- the per-layer parameter pytrees (one WeightGenerator + one LayerNorm per
+  layer, reference ``models/hypergnn.py:139-154``) are *stacked* along a
+  leading layer axis and sharded over the ``"pipe"`` mesh axis, so each stage
+  holds only ``num_layers / n_stages`` layers' parameters in HBM;
+- microbatches (independent neighbor-sampled subgraphs, all padded to the
+  same static shapes) flow through the stage ring; activations move stage →
+  stage with a single ``lax.ppermute`` hop per tick over ICI;
+- the schedule is the classic ``T = M + S - 1`` tick loop expressed as a
+  ``lax.scan`` (static trip count → reverse-differentiable, so the same
+  program serves pipelined training);
+- text encoding and the input projection are replicated preludes (they are
+  a negligible fraction of the FLOPs — the per-layer hypernetwork heads and
+  message passing dominate).
+
+Exactness: every stage applies the very same layer function as the
+single-device model (``relational_message_passing`` + residual → ReLU →
+LayerNorm), so outputs match ``apply_hypergnn`` per microbatch (tested on a
+virtual 4-stage CPU mesh in ``tests/test_pipeline.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_hypernetwork_forge_tpu.models.hypergnn import HyperGNNConfig
+from graph_hypernetwork_forge_tpu.models.text_encoder import apply_text_encoder
+from graph_hypernetwork_forge_tpu.models.weight_generator import (
+    apply_weight_generator,
+)
+from graph_hypernetwork_forge_tpu.ops.message_passing import (
+    relational_message_passing,
+)
+from graph_hypernetwork_forge_tpu.utils.initializers import (
+    layer_norm_apply,
+    linear_apply,
+    resolve_precision,
+)
+
+shard_map = jax.shard_map
+
+
+def stack_layer_params(params: dict) -> tuple:
+    """Stack the per-layer parameter lists along a leading layer axis.
+
+    ``init_hypergnn`` stores ``weight_generators`` / ``layer_norms`` as
+    Python lists (one entry per layer); pipelining wants them as stacked
+    pytrees ``[L, ...]`` whose leading axis shards over ``"pipe"``.
+    """
+    gens = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *params["weight_generators"]
+    )
+    norms = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["layer_norms"])
+    return gens, norms
+
+
+def pipelined_forward(
+    mesh: Mesh,
+    config: HyperGNNConfig,
+    params: dict,
+    node_features: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    rel_ids: jax.Array,
+    edge_mask: Optional[jax.Array],
+    char_ids: jax.Array,
+    text_lengths: jax.Array,
+    *,
+    axis: str = "pipe",
+) -> jax.Array:
+    """Forward M microbatches through a layer-staged pipeline → ``[M, N, H]``.
+
+    Args:
+        node_features: ``[M, N, F]`` per-microbatch node features.
+        src, dst, rel_ids: ``[M, E]`` per-microbatch edge arrays.
+        edge_mask: ``[M, E]`` float padding mask (or None for all-real edges).
+        char_ids, text_lengths: ``[M, U, Lmax]`` / ``[M, U]`` tokenized
+            relation texts per microbatch.
+
+    All microbatches must share static shapes (the padding discipline of
+    ``data/encoding.py``). ``config.num_layers`` must divide evenly by the
+    ``axis`` size. Inference-mode semantics (no dropout) — pipelined
+    *training* wraps this in ``jax.grad``; the tick scan has a static trip
+    count so reverse-mode differentiation works.
+    """
+    n_stages = mesh.shape[axis]
+    if config.num_layers % n_stages != 0:
+        raise ValueError(
+            f"num_layers={config.num_layers} must be divisible by the pipeline "
+            f"axis size {n_stages}"
+        )
+    m = node_features.shape[0]
+    n = node_features.shape[1]
+    prec = resolve_precision(config.precision)
+
+    if edge_mask is None:
+        edge_mask = jnp.ones(src.shape, dtype=node_features.dtype)
+
+    gens, norms = stack_layer_params(params)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),  # text_encoder params (replicated)
+            P(),  # input_proj params (replicated)
+            P(axis),  # stacked weight-generator params: layer axis sharded
+            P(axis),  # stacked layer norms: layer axis sharded
+            P(),  # node features (replicated: every stage sees every microbatch)
+            P(),
+            P(),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _pipeline(
+        te_params,
+        proj_params,
+        gens_local,
+        norms_local,
+        feats,
+        src_a,
+        dst_a,
+        rel_a,
+        mask_a,
+        chars_a,
+        lens_a,
+    ):
+        s = jax.lax.axis_index(axis)
+
+        # Replicated prelude: input projection + one-shot text encoding for
+        # every microbatch (reference models/hypergnn.py:261,270).
+        h0_all = jax.nn.relu(linear_apply(proj_params, feats, precision=prec))
+        text_all = jax.vmap(
+            lambda c, l: apply_text_encoder(te_params, c, l, precision=config.precision)
+        )(chars_a, lens_a)
+
+        def run_stage(h_in, mb):
+            """Apply this stage's layer slice to one microbatch's activation."""
+            src_mb = src_a[mb]
+            dst_mb = dst_a[mb]
+            rel_mb = rel_a[mb]
+            mask_mb = mask_a[mb]
+            text_mb = text_all[mb]
+
+            def one_layer(h, layer_params):
+                gen_p, norm_p = layer_params
+                weights = apply_weight_generator(
+                    config.weight_generator, gen_p, text_mb
+                )
+                h_new = relational_message_passing(
+                    h,
+                    src_mb,
+                    dst_mb,
+                    rel_mb,
+                    weights["W_msg"],
+                    weights["W_self"],
+                    weights["bias"],
+                    num_nodes=n,
+                    edge_mask=mask_mb,
+                    backend=config.backend,
+                    precision=config.precision,
+                )
+                h_new = jax.nn.relu(h_new + h)
+                return layer_norm_apply(norm_p, h_new), None
+
+            h_out, _ = jax.lax.scan(one_layer, h_in, (gens_local, norms_local))
+            return h_out
+
+        def tick(carry, t):
+            state, out_all = carry
+            mb = t - s  # microbatch resident at this stage this tick
+            active = (mb >= 0) & (mb < m)
+            mb_c = jnp.clip(mb, 0, m - 1)
+            # Stage 0 ingests a fresh microbatch; later stages consume the
+            # activation handed over the ring last tick.
+            h_in = jnp.where(s == 0, h0_all[mb_c], state)
+            h_out = run_stage(h_in, mb_c)
+            # Last stage drains: record the finished microbatch.
+            write = active & (s == n_stages - 1)
+            out_all = jnp.where(write, out_all.at[mb_c].set(h_out), out_all)
+            # One ICI hop: stage s → stage s+1 (ring; stage 0 ignores input).
+            state = jax.lax.ppermute(
+                h_out, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)]
+            )
+            return (state, out_all), None
+
+        state0 = jnp.zeros((n, config.hidden_dim), feats.dtype)
+        out0 = jnp.zeros((m, n, config.hidden_dim), feats.dtype)
+        (_, out_all), _ = jax.lax.scan(
+            tick, (state0, out0), jnp.arange(m + n_stages - 1)
+        )
+        # Only the last stage holds real outputs; psum replicates them.
+        return jax.lax.psum(
+            jnp.where(s == n_stages - 1, out_all, jnp.zeros_like(out_all)), axis
+        )
+
+    return _pipeline(
+        params["text_encoder"],
+        params["input_proj"],
+        gens,
+        norms,
+        node_features,
+        src,
+        dst,
+        rel_ids,
+        edge_mask,
+        char_ids,
+        text_lengths,
+    )
