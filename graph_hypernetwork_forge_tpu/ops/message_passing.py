@@ -49,8 +49,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graph_hypernetwork_forge_tpu.ops.segment import segment_mean_clamped
-
 Backend = Literal["auto", "dense", "gather", "pallas", "chunked"]
 
 # Peak-memory budget (floats) for the dense backend's [U, N, d] product;
@@ -217,10 +215,14 @@ def _edge_contributions_dense(h, src, dst, rel_ids, w_msg, w_self, bias, precisi
     HW[u] = H @ W[u] is a single ``[U]``-batched dense matmul (MXU-resident);
     each edge then gathers one d-vector instead of one d×d matrix.
     """
-    hw_msg = jnp.einsum("nd,udo->uno", h, w_msg, precision=precision)  # [U, N, d_out]
-    hw_self = jnp.einsum("nd,udo->uno", h, w_self, precision=precision)
-    msg = hw_msg[rel_ids, src] + bias[rel_ids]  # [E, d_out]
-    self_contrib = hw_self[rel_ids, dst]  # [E, d_out]
+    u = w_msg.shape[0]
+    # One [2U]-batched MXU product covers both weight banks (identical
+    # per-slice numerics to two separate einsums; halves launch overhead).
+    hw = jnp.einsum(
+        "nd,udo->uno", h, jnp.concatenate([w_msg, w_self]), precision=precision
+    )  # [2U, N, d_out]
+    msg = hw[rel_ids, src] + bias[rel_ids]  # [E, d_out]
+    self_contrib = hw[rel_ids + u, dst]  # [E, d_out]
     return msg, self_contrib
 
 
@@ -323,9 +325,20 @@ def relational_message_passing(
             h, src, dst, rel_ids, w_msg, w_self, bias, precision
         )
 
-    agg, cnt = segment_mean_clamped(msg, dst, n, weights=edge_mask)
+    # Single fused scatter: [E, 2·d_out] segment-sum covers both the message
+    # and self-loop accumulators (columns reduce independently, so numerics
+    # are identical to two separate segment sums), plus one count scatter.
+    d_out = msg.shape[-1]
+    both = jnp.concatenate([msg, self_contrib], axis=-1)
     if edge_mask is not None:
-        self_contrib = self_contrib * edge_mask[:, None]
-    self_total = jax.ops.segment_sum(self_contrib, dst, num_segments=n)
-    self_out = self_total / cnt[:, None]
-    return agg + self_out
+        both = both * edge_mask[:, None]
+    total = jax.ops.segment_sum(both, dst, num_segments=n)
+    cnt = jax.ops.segment_sum(
+        jnp.ones(dst.shape, h.dtype) if edge_mask is None else edge_mask,
+        dst,
+        num_segments=n,
+    )
+    cnt = jnp.maximum(cnt, 1.0)[:, None]
+    # Two true divides (not a shared reciprocal) to match the reference's
+    # rounding: agg/cnt + self/cnt, reference models/hypergnn.py:213,220,230.
+    return total[:, :d_out] / cnt + total[:, d_out:] / cnt
