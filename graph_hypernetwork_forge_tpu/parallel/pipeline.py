@@ -223,3 +223,55 @@ def pipelined_forward(
         char_ids,
         text_lengths,
     )
+
+
+def make_pipelined_train_step(
+    mesh: Mesh,
+    config: HyperGNNConfig,
+    optimizer,
+    *,
+    margin: float = 1.0,
+    axis: str = "pipe",
+):
+    """Jitted pipelined training step over M microbatched subgraphs.
+
+    Loss = mean over microbatches of the margin-ranking link-prediction
+    loss (reference objective, ``demo.py:79-98``), with tail-corruption
+    negatives drawn inside the step. Gradients flow backward through the
+    pipeline ring (``ppermute`` transposes to the reverse permutation, so
+    the backward pass is itself a reverse-direction pipeline).
+
+    Returns ``(params, opt_state, feats [M,N,F], src, dst, rel, mask,
+    chars, lens, rng) → (params, opt_state, loss)``.
+    """
+    import optax
+
+    from graph_hypernetwork_forge_tpu.training.objectives import (
+        link_prediction_loss,
+    )
+
+    def loss_fn(params, feats, src, dst, rel, mask, chars, lens, neg_dst):
+        embs = pipelined_forward(
+            mesh, config, params, feats, src, dst, rel, mask, chars, lens,
+            axis=axis,
+        )
+        losses = jax.vmap(
+            lambda e, s, d, nd, mk: link_prediction_loss(
+                e, s, d, nd, margin=margin, edge_mask=mk
+            )
+        )(embs, src, dst, neg_dst, mask)
+        return jnp.mean(losses)
+
+    @jax.jit
+    def step(params, opt_state, feats, src, dst, rel, mask, chars, lens, rng):
+        neg_dst = jax.random.randint(
+            rng, src.shape, 0, feats.shape[1], dtype=src.dtype
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, feats, src, dst, rel, mask, chars, lens, neg_dst
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

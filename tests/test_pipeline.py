@@ -20,6 +20,7 @@ from graph_hypernetwork_forge_tpu.models.hypergnn import (
 )
 from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh
 from graph_hypernetwork_forge_tpu.parallel.pipeline import (
+    make_pipelined_train_step,
     pipelined_forward,
     stack_layer_params,
 )
@@ -119,6 +120,54 @@ class TestPipelinedForward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3
             )
+
+    def test_pipelined_train_step(self, pipe_setup):
+        """One pipelined optimizer step == the equivalent sequential step."""
+        import optax
+
+        from graph_hypernetwork_forge_tpu.training.objectives import (
+            link_prediction_loss,
+        )
+
+        config, params, feats, arrays, _ = pipe_setup
+        src, dst, rel, mask, chars, lens = arrays
+        mesh = make_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+        optimizer = optax.adam(1e-2)
+        opt_state = optimizer.init(params)
+        step = make_pipelined_train_step(mesh, config, optimizer)
+        rng = jax.random.PRNGKey(3)
+        new_params, _, loss = step(
+            params, opt_state, feats, src, dst, rel, mask, chars, lens, rng
+        )
+        assert np.isfinite(float(loss))
+
+        # Sequential equivalent with the same negatives.
+        neg_dst = jax.random.randint(rng, src.shape, 0, N_NODES, dtype=src.dtype)
+
+        def seq_loss(p):
+            losses = []
+            for mb in range(N_MICRO):
+                embs = apply_hypergnn(
+                    config, p, feats[mb], src[mb], dst[mb], rel[mb],
+                    mask[mb], chars[mb], lens[mb],
+                )
+                losses.append(
+                    link_prediction_loss(
+                        embs, src[mb], dst[mb], neg_dst[mb], edge_mask=mask[mb]
+                    )
+                )
+            return jnp.mean(jnp.stack(losses))
+
+        np.testing.assert_allclose(float(loss), float(seq_loss(params)), atol=1e-5)
+        # Parameters actually moved.
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(params),
+                jax.tree_util.tree_leaves(new_params),
+            )
+        )
+        assert moved
 
     def test_stack_layer_params_shapes(self, pipe_setup):
         config, params, *_ = pipe_setup
