@@ -4,6 +4,9 @@ from graph_hypernetwork_forge_tpu.parallel.edge_partition import (
     edge_partitioned_message_passing,
 )
 from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh, mesh_axis_size
+from graph_hypernetwork_forge_tpu.parallel.data_parallel import (
+    make_data_parallel_step,
+)
 from graph_hypernetwork_forge_tpu.parallel.pipeline import (
     pipelined_forward,
     stack_layer_params,
@@ -27,6 +30,7 @@ __all__ = [
     "edge_partitioned_message_passing",
     "graph_array_shardings",
     "hypergnn_param_shardings",
+    "make_data_parallel_step",
     "make_mesh",
     "mesh_axis_size",
     "node_partitioned_message_passing",
