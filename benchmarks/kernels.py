@@ -35,6 +35,7 @@ sys.path.insert(0, ".")
 from graph_hypernetwork_forge_tpu.ops.message_passing import (  # noqa: E402
     _edge_contributions_dense,
     _edge_contributions_gather,
+    _edge_contributions_grouped,
 )
 
 CONFIGS = [
@@ -57,15 +58,24 @@ def run(name, n, e, u, d, reps=5):
     w_self = jnp.asarray(0.01 * rng.standard_normal((u, d, d)).astype(np.float32))
     bias = jnp.asarray(0.01 * rng.standard_normal((u, d)).astype(np.float32))
 
-    def bench(fn, label):
-        g = jax.jit(fn)
-        out = g(h, src, dst, rel, w_msg, w_self, bias)
-        np.asarray(out[0][:1])  # host fetch = true sync on this stack
+    def bench(fn, label, fused=10):
+        # Fuse `fused` iterations into one program (lax.scan, carry feeds a
+        # perturbation into h to defeat CSE) so the ~30 ms host-fetch
+        # round-trip on this tunneled stack is amortized out of the number.
+        def prog(h, src, dst, rel, w_msg, w_self, bias):
+            def body(c, _):
+                m, s = fn(h + c, src, dst, rel, w_msg, w_self, bias)
+                return m[0, 0] * 1e-20, m[0, 0] + s[0, 0]
+
+            _, ys = jax.lax.scan(body, jnp.float32(0.0), length=fused)
+            return ys
+
+        g = jax.jit(prog)
+        np.asarray(g(h, src, dst, rel, w_msg, w_self, bias))  # compile+sync
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = g(h, src, dst, rel, w_msg, w_self, bias)
-            np.asarray(out[0][:1])
-        dt = (time.perf_counter() - t0) / reps
+            np.asarray(g(h, src, dst, rel, w_msg, w_self, bias))
+        dt = (time.perf_counter() - t0) / (reps * fused)
         print(
             json.dumps(
                 {
@@ -76,10 +86,14 @@ def run(name, n, e, u, d, reps=5):
                 }
             )
         )
-        return out
+        return jax.jit(fn)(h, src, dst, rel, w_msg, w_self, bias)
 
     ref = bench(
         lambda *a: _edge_contributions_dense(*a, precision="highest"), "dense"
+    )
+    bench(
+        lambda *a: _edge_contributions_grouped(*a, precision="highest"),
+        "grouped",
     )
     got = None
     if e * d * d <= 2**33:  # gather materializes [E, d, d] x2 — cap memory

@@ -49,13 +49,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-Backend = Literal["auto", "dense", "gather", "pallas", "chunked"]
+Backend = Literal["auto", "dense", "grouped", "gather", "pallas", "chunked"]
 
 # Peak-memory budget (floats) for the dense backend's [U, N, d] product;
 # beyond this `auto` switches to the chunked streaming path. 1G floats =
 # 4 GiB per bank — measured to fit fwd+bwd on a 16 GiB v5e at the xl config
 # (U=237, N=50k, d=64 → 758M floats, 484M edges/s).
 _DENSE_BUDGET_ELEMENTS = 1 << 30
+
+# Budget (floats) for the grouped backend's [E, d] sorted-edge buffers;
+# beyond this the chunked streaming path bounds peak memory instead.
+_GROUPED_BUDGET_ELEMENTS = 1 << 28
 
 
 def _edge_contributions_chunk(h, src_c, dst_c, rel_c, w_msg, w_self, bias,
@@ -226,6 +230,33 @@ def _edge_contributions_dense(h, src, dst, rel_ids, w_msg, w_self, bias, precisi
     return msg, self_contrib
 
 
+def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, precision):
+    """Per-edge contributions via relation-grouped ragged matmul.
+
+    Sorts edges by relation id (stable, in-jit), then runs
+    ``jax.lax.ragged_dot`` — the MoE-style grouped-matmul primitive — so
+    every edge costs exactly one ``[d_in] @ [d_in, d_out]`` row-matmul
+    against its own relation's weights: O(E·d²) FLOPs, versus the dense
+    backend's O(U·N·d²) all-relations product. Wins when the graph is
+    relation-sparse (E ≪ U·N), e.g. the FB15k-237-scale config
+    (U=237, N=50k, E=1M → 12× fewer FLOPs).
+    """
+    u = w_msg.shape[0]
+    order = jnp.argsort(rel_ids, stable=True)
+    rel_sorted = rel_ids[order]
+    group_sizes = jnp.bincount(rel_ids, length=u).astype(jnp.int32)
+    msg_s = (
+        jax.lax.ragged_dot(h[src[order]], w_msg, group_sizes, precision=precision)
+        + bias[rel_sorted]
+    )
+    self_s = jax.lax.ragged_dot(
+        h[dst[order]], w_self, group_sizes, precision=precision
+    )
+    # Unsort back to the caller's edge order (inverse permutation scatter).
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return msg_s[inv], self_s[inv]
+
+
 def _edge_contributions_gather(h, src, dst, rel_ids, w_msg, w_self, bias, precision):
     """Per-edge contributions via per-edge weight gather (parity oracle)."""
     msg = (
@@ -243,15 +274,20 @@ def _pick_backend(
 ):
     if backend != "auto":
         return backend
-    # Dense costs O(U·N·d²) flops on the MXU but materializes [U, N, d];
-    # past the memory budget stream edge chunks instead. Gather costs
-    # O(E·d²) HBM traffic for the weight gather — only wins when the graph
-    # is extremely sparse relative to the relation vocabulary.
+    # Three regimes (flops/memory tradeoff):
+    # - dense: O(U·N·d²) flops, materializes [2U, N, d]. Best for
+    #   relation-dense graphs (E ≳ U·N) where every (relation, node)
+    #   product is actually consumed.
+    # - grouped: O(E·d²) flops via ragged_dot over relation-sorted edges
+    #   + an O(E log E) in-jit sort. Best when E ≪ U·N.
+    # - chunked: O(chunk·d²) peak memory streaming; the huge-E fallback.
     if num_rel * num_nodes * d_out > _DENSE_BUDGET_ELEMENTS:
+        if num_edges * d_out <= _GROUPED_BUDGET_ELEMENTS:
+            return "grouped"
         return "chunked"
-    if num_rel * num_nodes <= 32 * num_edges:
-        return "dense"
-    return "gather"
+    if num_rel * num_nodes > 8 * num_edges:
+        return "grouped"
+    return "dense"
 
 
 def relational_message_passing(
@@ -318,6 +354,10 @@ def relational_message_passing(
         )
     elif chosen == "dense":
         msg, self_contrib = _edge_contributions_dense(
+            h, src, dst, rel_ids, w_msg, w_self, bias, precision
+        )
+    elif chosen == "grouped":
+        msg, self_contrib = _edge_contributions_grouped(
             h, src, dst, rel_ids, w_msg, w_self, bias, precision
         )
     else:

@@ -69,7 +69,7 @@ class TestSegmentOps:
 
 
 class TestMessagePassing:
-    @pytest.mark.parametrize("backend", ["dense", "gather"])
+    @pytest.mark.parametrize("backend", ["dense", "grouped", "gather"])
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_matches_oracle(self, backend, seed):
         case = make_random_case(seed)
@@ -80,7 +80,7 @@ class TestMessagePassing:
         )
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
 
-    @pytest.mark.parametrize("backend", ["dense", "gather"])
+    @pytest.mark.parametrize("backend", ["dense", "grouped", "gather"])
     def test_non_square(self, backend):
         case = make_random_case(3, d_in=8, d_out=16)
         want = numpy_oracle(*case)
@@ -143,6 +143,53 @@ class TestMessagePassing:
         for g in grads:
             assert bool(jnp.any(g != 0))
             assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestGroupedBackend:
+    def test_empty_relation_groups(self):
+        """Relations with zero edges must not perturb the ragged matmul."""
+        h, src, dst, rel, w_msg, w_self, bias = make_random_case(3, u=6)
+        rel = np.where(rel == 2, 5, rel).astype(np.int32)  # relation 2 unused
+        args = (h, src, dst, rel, w_msg, w_self, bias)
+        expected = numpy_oracle(*[np.asarray(a) for a in args])
+        out = relational_message_passing(
+            *(jnp.asarray(x) for x in args), backend="grouped"
+        )
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5)
+
+    def test_masked_matches_dense(self):
+        h, src, dst, rel, w_msg, w_self, bias = make_random_case(4)
+        mask = (np.arange(len(src)) % 3 != 0).astype(np.float32)
+        args = tuple(jnp.asarray(x) for x in (h, src, dst, rel, w_msg, w_self, bias))
+        dense = relational_message_passing(
+            *args, edge_mask=jnp.asarray(mask), backend="dense"
+        )
+        grouped = relational_message_passing(
+            *args, edge_mask=jnp.asarray(mask), backend="grouped"
+        )
+        np.testing.assert_allclose(
+            np.asarray(grouped), np.asarray(dense), atol=2e-5
+        )
+
+    def test_grad_matches_dense(self):
+        h, src, dst, rel, w_msg, w_self, bias = make_random_case(5)
+        args = tuple(jnp.asarray(x) for x in (h, src, dst, rel, w_msg, w_self, bias))
+
+        def loss(backend):
+            def f(h, w_msg, w_self, bias):
+                out = relational_message_passing(
+                    h, args[1], args[2], args[3], w_msg, w_self, bias,
+                    backend=backend,
+                )
+                return jnp.sum(out**2)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(
+                args[0], args[4], args[5], args[6]
+            )
+
+        for a, b in zip(loss("grouped"), loss("dense")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4
+            )
 
 
 class TestChunkedBackend:
