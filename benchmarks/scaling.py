@@ -71,9 +71,12 @@ def run_config(name, n, e, u, d, ref):
 
     # Timing protocol (see bench.py): on this backend only a host value
     # fetch truly synchronizes, so either fuse K steps into one program
-    # (small configs) or fetch the loss every step (huge configs where the
-    # ~30 ms fetch round-trip is negligible).
-    if e <= 2_000_000:
+    # (small configs) or fetch the loss every step (big configs, where the
+    # ~30 ms fetch round-trip inflates the step by <30% — the number is
+    # conservative). The split also keeps compiles fast: the grouped
+    # (ragged_dot) backend picked at xl scale compiles slowly inside a
+    # K-step scan on this remote-compiler stack.
+    if e < 1_000_000:
         k = 5
         step = make_multi_step(config, optimizer, k)
         params, opt_state, losses = step(params, opt_state, feats, *arrays, r)

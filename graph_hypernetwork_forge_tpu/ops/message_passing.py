@@ -230,6 +230,43 @@ def _edge_contributions_dense(h, src, dst, rel_ids, w_msg, w_self, bias, precisi
     return msg, self_contrib
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ragged_transform(x, w, group_sizes, precision):
+    """``out[e] = x[e] @ w[g(e)]`` for relation-sorted rows — one ragged_dot.
+
+    Custom VJP because XLA's autodiff of ``ragged_dot`` lowers the weight
+    gradient pathologically on this stack (measured 1.2 s/step at the xl
+    config vs 64 ms forward); both cotangents are expressible as O(E·d²)
+    ragged contractions:
+
+        dx = ragged_dot(g, wᵀ)                          (same cost as fwd)
+        dw = ragged_dot_general(x, g, ragged-contract)   ([U, d_in, d_out])
+    """
+    return jax.lax.ragged_dot(x, w, group_sizes, precision=precision)
+
+
+def _ragged_transform_fwd(x, w, group_sizes, precision):
+    return _ragged_transform(x, w, group_sizes, precision), (x, w, group_sizes)
+
+
+def _ragged_transform_bwd(precision, residuals, g):
+    x, w, group_sizes = residuals
+    dx = jax.lax.ragged_dot(
+        g, jnp.swapaxes(w, 1, 2), group_sizes, precision=precision
+    )
+    dn = jax.lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((0,), (0,)), ((), ())),
+        lhs_ragged_dimensions=[0],
+        rhs_group_dimensions=[],
+    )
+    dw = jax.lax.ragged_dot_general(x, g, group_sizes, dn, precision=precision)
+    dgs = np.zeros(group_sizes.shape, dtype=jax.dtypes.float0)
+    return dx, dw, dgs
+
+
+_ragged_transform.defvjp(_ragged_transform_fwd, _ragged_transform_bwd)
+
+
 def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, precision):
     """Per-edge contributions via relation-grouped ragged matmul.
 
@@ -246,12 +283,10 @@ def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, preci
     rel_sorted = rel_ids[order]
     group_sizes = jnp.bincount(rel_ids, length=u).astype(jnp.int32)
     msg_s = (
-        jax.lax.ragged_dot(h[src[order]], w_msg, group_sizes, precision=precision)
+        _ragged_transform(h[src[order]], w_msg, group_sizes, precision)
         + bias[rel_sorted]
     )
-    self_s = jax.lax.ragged_dot(
-        h[dst[order]], w_self, group_sizes, precision=precision
-    )
+    self_s = _ragged_transform(h[dst[order]], w_self, group_sizes, precision)
     # Unsort back to the caller's edge order (inverse permutation scatter).
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
     return msg_s[inv], self_s[inv]
