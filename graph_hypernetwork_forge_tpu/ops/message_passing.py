@@ -52,9 +52,12 @@ import numpy as np
 Backend = Literal["auto", "dense", "grouped", "gather", "pallas", "chunked"]
 
 # Peak-memory budget (floats) for the dense backend's [U, N, d] product;
-# beyond this `auto` switches to the chunked streaming path. 1G floats =
-# 4 GiB per bank — measured to fit fwd+bwd on a 16 GiB v5e at the xl config
-# (U=237, N=50k, d=64 → 758M floats, 484M edges/s).
+# past this (or when relations are sparse relative to edges) `auto` prefers
+# the grouped ragged backend. Note the dense bank allocates [2U, N, d] with
+# possible 2x layout padding — at the xl config (U=237, N=50k, d=64) that
+# is 11+ GB, which OOMs a 16 GiB v5e once gradients are live; grouped runs
+# the same config at ~880k edges/s fwd+bwd (sort-based scatters dominate
+# the backward on TPU — XLA lowers scatter-add to a full key sort).
 _DENSE_BUDGET_ELEMENTS = 1 << 30
 
 # Budget (floats) for the grouped backend's [E, d] sorted-edge buffers;
