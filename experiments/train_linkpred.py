@@ -94,12 +94,13 @@ def main(argv=None) -> int:
         hidden_dim=args.hidden_dim,
         num_layers=args.num_layers,
         precision=args.precision,
+        rel_sorted=True,  # graphs below are encoded with sort_by_relation
     )
     params = init_hypergnn(config, jax.random.PRNGKey(args.seed))
     n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
     print(f"model params: {n_params:,}  devices: {jax.devices()}")
 
-    graph = encode_graph(train_ei, train_texts, kg.num_nodes)
+    graph = encode_graph(train_ei, train_texts, kg.num_nodes, sort_by_relation=True)
     feats = jnp.asarray(kg.node_features)
     arrays = tuple(jnp.asarray(a) for a in graph.arrays)
 
@@ -110,7 +111,9 @@ def main(argv=None) -> int:
 
     # Message-passing graph for eval includes test edges (standard
     # transductive protocol); zero-shot relation texts appear here only.
-    full_graph = encode_graph(kg.edge_index, kg.edge_texts, kg.num_nodes)
+    full_graph = encode_graph(
+        kg.edge_index, kg.edge_texts, kg.num_nodes, sort_by_relation=True
+    )
     full_arrays = tuple(jnp.asarray(a) for a in full_graph.arrays)
 
     def evaluate(params):

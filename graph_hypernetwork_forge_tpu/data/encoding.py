@@ -53,6 +53,7 @@ class EncodedGraph:
     num_edges: int
     num_relations: int
     unique_texts: Tuple[str, ...]
+    rel_sorted: bool = False
 
     @property
     def arrays(self) -> tuple:
@@ -98,8 +99,17 @@ def encode_graph(
     num_nodes: int,
     *,
     pad: bool = True,
+    sort_by_relation: bool = False,
 ) -> EncodedGraph:
-    """Build an :class:`EncodedGraph` from raw connectivity + relation strings."""
+    """Build an :class:`EncodedGraph` from raw connectivity + relation strings.
+
+    ``sort_by_relation=True`` stores the edge arrays stable-sorted by
+    relation id (a one-time host-side reorder; aggregation semantics are
+    edge-order-invariant). This is the layout the ``grouped`` ragged
+    backend wants — pair it with ``HyperGNNConfig(rel_sorted=True)`` to
+    skip the per-step in-jit argsort and unsort permutation entirely
+    (each otherwise lowers to a full device sort per layer on TPU).
+    """
     edge_index = np.asarray(edge_index)
     if edge_index.ndim != 2 or edge_index.shape[0] != 2:
         raise ValueError(f"edge_index must be [2, E], got {edge_index.shape}")
@@ -124,6 +134,9 @@ def encode_graph(
     dst[:e] = edge_index[1]
     rids[:e] = rel_ids
     mask[:e] = 1.0
+    if sort_by_relation:
+        order = np.argsort(rids, kind="stable")
+        src, dst, rids, mask = src[order], dst[order], rids[order], mask[order]
 
     cid = np.zeros((u_pad, char_ids.shape[1]), dtype=np.int32)
     lens = np.ones(u_pad, dtype=np.int32)  # padding rows behave like ""
@@ -141,4 +154,5 @@ def encode_graph(
         num_edges=e,
         num_relations=u,
         unique_texts=tuple(unique_texts),
+        rel_sorted=sort_by_relation,
     )

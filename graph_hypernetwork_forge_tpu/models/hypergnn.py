@@ -79,6 +79,10 @@ class HyperGNNConfig:
     # Rematerialize each layer in backward (jax.checkpoint): trades FLOPs
     # for HBM on deep models — the TPU equivalent of activation checkpointing.
     remat: bool = False
+    # Promise that edge arrays are stable-sorted by relation id
+    # (``encode_graph(sort_by_relation=True)``); lets the grouped backend
+    # skip two device sorts per layer. WRONG RESULTS if edges are unsorted.
+    rel_sorted: bool = False
 
     def __post_init__(self):
         if self.num_layers < 1:
@@ -174,6 +178,7 @@ def apply_hypergnn(
             edge_mask=edge_mask,
             backend=config.backend,
             precision=prec,
+            rel_sorted=config.rel_sorted,
         )
         h_new = h_new + h  # residual (always shape-compatible: hidden→hidden)
         h_new = jax.nn.relu(h_new)

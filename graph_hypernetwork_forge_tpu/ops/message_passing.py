@@ -270,7 +270,8 @@ def _ragged_transform_bwd(precision, residuals, g):
 _ragged_transform.defvjp(_ragged_transform_fwd, _ragged_transform_bwd)
 
 
-def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, precision):
+def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, precision,
+                                rel_sorted=False):
     """Per-edge contributions via relation-grouped ragged matmul.
 
     Sorts edges by relation id (stable, in-jit), then runs
@@ -282,12 +283,22 @@ def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, preci
     (U=237, N=50k, E=1M → 12× fewer FLOPs).
     """
     u = w_msg.shape[0]
-    order = jnp.argsort(rel_ids, stable=True)
-    rel_sorted = rel_ids[order]
     group_sizes = jnp.bincount(rel_ids, length=u).astype(jnp.int32)
+    if rel_sorted:
+        # Edges are already relation-sorted (host-side layout,
+        # ``encode_graph(sort_by_relation=True)``): no in-jit argsort, no
+        # unsort permutation — each of those lowers to a device sort.
+        msg = (
+            _ragged_transform(h[src], w_msg, group_sizes, precision)
+            + bias[rel_ids]
+        )
+        self_c = _ragged_transform(h[dst], w_self, group_sizes, precision)
+        return msg, self_c
+    order = jnp.argsort(rel_ids, stable=True)
+    rel_s = rel_ids[order]
     msg_s = (
         _ragged_transform(h[src[order]], w_msg, group_sizes, precision)
-        + bias[rel_sorted]
+        + bias[rel_s]
     )
     self_s = _ragged_transform(h[dst[order]], w_self, group_sizes, precision)
     # Unsort back to the caller's edge order (inverse permutation scatter).
@@ -341,6 +352,7 @@ def relational_message_passing(
     edge_mask: jax.Array | None = None,
     backend: Backend = "auto",
     precision="highest",
+    rel_sorted: bool = False,
 ) -> jax.Array:
     """One round of relation-conditioned message passing.
 
@@ -354,9 +366,14 @@ def relational_message_passing(
         edge_mask: optional ``[E]`` float mask; padded edges (0.0) contribute
             neither messages nor counts — required by the static-shape padding
             discipline.
-        backend: ``auto`` | ``dense`` | ``gather`` | ``pallas``.
+        backend: ``auto`` | ``dense`` | ``grouped`` | ``gather`` |
+            ``pallas`` | ``chunked``.
         precision: ``jax.lax.Precision`` for the matmuls (``"highest"`` for
             f32-exact parity; ``None``/default is bf16-class on TPU).
+        rel_sorted: promise that the edge arrays are already stable-sorted
+            by ``rel_ids`` (``encode_graph(sort_by_relation=True)``). Lets
+            the grouped backend skip its per-layer device sorts. Passing
+            True on unsorted edges produces WRONG results.
 
     Returns:
         ``[N, d_out]`` updated node embeddings (pre-residual).
@@ -396,7 +413,8 @@ def relational_message_passing(
         )
     elif chosen == "grouped":
         msg, self_contrib = _edge_contributions_grouped(
-            h, src, dst, rel_ids, w_msg, w_self, bias, precision
+            h, src, dst, rel_ids, w_msg, w_self, bias, precision,
+            rel_sorted=rel_sorted,
         )
     else:
         msg, self_contrib = _edge_contributions_gather(

@@ -1,5 +1,7 @@
 """Unit tests for segment ops and the relational message-passing core."""
 
+from dataclasses import replace as dataclasses_replace
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -169,6 +171,51 @@ class TestGroupedBackend:
         )
         np.testing.assert_allclose(
             np.asarray(grouped), np.asarray(dense), atol=2e-5
+        )
+
+    def test_rel_sorted_fast_path(self):
+        """Pre-sorted edges + rel_sorted=True == the sorting path exactly."""
+        h, src, dst, rel, w_msg, w_self, bias = make_random_case(6)
+        order = np.argsort(rel, kind="stable")
+        src, dst, rel = src[order], dst[order], rel[order]
+        args = tuple(jnp.asarray(x) for x in (h, src, dst, rel, w_msg, w_self, bias))
+        fast = relational_message_passing(*args, backend="grouped", rel_sorted=True)
+        slow = relational_message_passing(*args, backend="grouped")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-6)
+        expected = numpy_oracle(h, src, dst, rel, w_msg, w_self, bias)
+        np.testing.assert_allclose(np.asarray(fast), expected, atol=2e-5)
+
+    def test_encode_graph_sort_by_relation(self):
+        """Host-side relation sorting preserves model outputs."""
+        from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
+        from graph_hypernetwork_forge_tpu.models.hypergnn import (
+            HyperGNNConfig, apply_hypergnn, init_hypergnn,
+        )
+
+        rng = np.random.default_rng(0)
+        n, e = 14, 30
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int64)
+        texts = ["alpha rel", "beta rel", "gamma rel"]
+        etexts = [texts[i] for i in rng.integers(0, 3, e)]
+        feats = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+        g_plain = encode_graph(ei, etexts, n)
+        g_sorted = encode_graph(ei, etexts, n, sort_by_relation=True)
+        assert g_sorted.rel_sorted
+        assert np.all(np.diff(g_sorted.rel_ids) >= 0)
+
+        cfg = HyperGNNConfig(text_dim=16, node_feat_dim=8, hidden_dim=16,
+                             num_layers=2, backend="grouped")
+        cfg_fast = dataclasses_replace(cfg, rel_sorted=True)
+        params = init_hypergnn(cfg, jax.random.PRNGKey(1))
+        out_plain = apply_hypergnn(
+            cfg, params, feats, *(jnp.asarray(a) for a in g_plain.arrays)
+        )
+        out_fast = apply_hypergnn(
+            cfg_fast, params, feats, *(jnp.asarray(a) for a in g_sorted.arrays)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fast), np.asarray(out_plain), atol=2e-5
         )
 
     def test_grad_matches_dense(self):
