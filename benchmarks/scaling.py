@@ -11,6 +11,7 @@ Prints one JSON line per config.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -64,6 +65,11 @@ def run_config(name, n, e, u, d, ref):
         text_dim=64, node_feat_dim=d, hidden_dim=d, num_layers=2,
         rel_sorted=True,
     )
+    if e > 2_000_000:
+        # Wikidata5M scale: the grouped ragged backend + per-layer remat
+        # fits fwd+bwd in 16 GiB and runs 6x faster than the chunked
+        # streaming path (measured 4.76 s/step vs 28.5 s at E=10M).
+        config = dataclasses.replace(config, backend="grouped", remat=True)
     params = init_hypergnn(config, jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)

@@ -64,6 +64,10 @@ _DENSE_BUDGET_ELEMENTS = 1 << 30
 # beyond this the chunked streaming path bounds peak memory instead.
 _GROUPED_BUDGET_ELEMENTS = 1 << 28
 
+# Above this [E, d] size the aggregation tail uses two separate scatters
+# instead of one fused [E, 2d] concat (peak-memory vs sort-count tradeoff).
+_FUSED_TAIL_BUDGET_ELEMENTS = 1 << 28
+
 
 def _edge_contributions_chunk(h, src_c, dst_c, rel_c, w_msg, w_self, bias,
                               precision):
@@ -421,14 +425,6 @@ def relational_message_passing(
             h, src, dst, rel_ids, w_msg, w_self, bias, precision
         )
 
-    # Single fused scatter: [E, 2·d_out] segment-sum covers both the message
-    # and self-loop accumulators (columns reduce independently, so numerics
-    # are identical to two separate segment sums), plus one count scatter.
-    d_out = msg.shape[-1]
-    both = jnp.concatenate([msg, self_contrib], axis=-1)
-    if edge_mask is not None:
-        both = both * edge_mask[:, None]
-    total = jax.ops.segment_sum(both, dst, num_segments=n)
     cnt = jax.ops.segment_sum(
         jnp.ones(dst.shape, h.dtype) if edge_mask is None else edge_mask,
         dst,
@@ -437,4 +433,22 @@ def relational_message_passing(
     cnt = jnp.maximum(cnt, 1.0)[:, None]
     # Two true divides (not a shared reciprocal) to match the reference's
     # rounding: agg/cnt + self/cnt, reference models/hypergnn.py:213,220,230.
+    d_out = msg.shape[-1]
+    if msg.size > _FUSED_TAIL_BUDGET_ELEMENTS:
+        # Huge-E: two separate [E, d] scatters. The fused [E, 2d] concat
+        # keeps three ~[E, 2d] buffers live through the backward (measured
+        # 15 GB at E=10M, d=64 — an OOM); separate chains let the scheduler
+        # sequence them. Columns reduce independently so numerics match.
+        if edge_mask is not None:
+            msg = msg * edge_mask[:, None]
+            self_contrib = self_contrib * edge_mask[:, None]
+        total_msg = jax.ops.segment_sum(msg, dst, num_segments=n)
+        total_self = jax.ops.segment_sum(self_contrib, dst, num_segments=n)
+        return total_msg / cnt + total_self / cnt
+    # Single fused scatter: [E, 2·d_out] segment-sum covers both the message
+    # and self-loop accumulators in one pass (one key sort instead of two).
+    both = jnp.concatenate([msg, self_contrib], axis=-1)
+    if edge_mask is not None:
+        both = both * edge_mask[:, None]
+    total = jax.ops.segment_sum(both, dst, num_segments=n)
     return total[:, :d_out] / cnt + total[:, d_out:] / cnt
