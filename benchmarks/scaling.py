@@ -40,7 +40,14 @@ CONFIGS = [
     ("bench", 1_000, 10_000, 50, 64, 3_868.0),      # ref fwd+bwd
     ("large", 10_000, 100_000, 50, 64, 1_552.0),     # ref fwd only!
     ("xl", 50_000, 1_000_000, 237, 64, None),
+    # MXU-aligned flagship: d=128 fills TPU lanes exactly; FLOPs/edge 4x xl.
+    ("xl-d128", 50_000, 1_000_000, 237, 128, None),
 ]
+
+# Rough peak for MFU accounting (bf16 MXU peak of one v5e-class chip); the
+# library runs f32 HIGHEST matmuls (parity gate), whose peak is lower, so
+# the printed MFU is a conservative lower bound vs the chip.
+PEAK_FLOPS = 197e12
 
 # Wikidata5M-scale full-graph training step on ONE chip via the chunked
 # streaming backend (auto-selected past the dense memory budget). Run with
@@ -56,10 +63,12 @@ def run_config(name, n, e, u, d, ref):
     ).astype(np.int64)
     texts = [f"relation type number {i} with descriptive text" for i in range(u)]
     etexts = [texts[i] for i in rng.integers(0, u, size=e)]
-    # Relation-sorted edge layout: free host-side reorder that lets the
-    # grouped ragged backend skip two device sorts per layer (4x at xl).
-    graph = encode_graph(ei, etexts, n, sort_by_relation=True)
+    # Relation-sorted edge layout + host-precomputed SortPlan: the compute
+    # core then lowers with ZERO in-jit key sorts (every scatter becomes a
+    # bijective gather + sorted-hint segment-sum, fwd and bwd).
+    graph = encode_graph(ei, etexts, n, sort_by_relation=True, with_sort_plan=True)
     arrays = tuple(jnp.asarray(a) for a in graph.arrays)
+    plan = jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
 
     config = HyperGNNConfig(
         text_dim=64, node_feat_dim=d, hidden_dim=d, num_layers=2,
@@ -88,32 +97,52 @@ def run_config(name, n, e, u, d, ref):
     if e < 1_000_000:
         k = 5
         step = make_multi_step(config, optimizer, k)
-        params, opt_state, losses = step(params, opt_state, feats, *arrays, r)
+        params, opt_state, losses = step(
+            params, opt_state, feats, *arrays, r, sort_plan=plan
+        )
         np.asarray(losses)
         reps = max(2, min(10, 1_000_000 // e))
         t0 = time.perf_counter()
         for _ in range(reps):
             r, sr = jax.random.split(r)
             params, opt_state, losses = step(
-                params, opt_state, feats, *arrays, sr
+                params, opt_state, feats, *arrays, sr, sort_plan=plan
             )
             np.asarray(losses)
         dt = time.perf_counter() - t0
         steps = reps * k
     else:
-        step = make_train_step(config, optimizer, num_pos_samples=num_pos)
-        params, opt_state, loss = step(params, opt_state, feats, *arrays, r)
+        # Full-positive configs use the sort-free rolled-permutation
+        # negatives (the reference's randperm-of-dst semantics, demo.py:93).
+        neg_mode = "roll" if num_pos is None else "uniform"
+        step = make_train_step(
+            config, optimizer, num_pos_samples=num_pos, neg_mode=neg_mode
+        )
+        params, opt_state, loss = step(
+            params, opt_state, feats, *arrays, r, sort_plan=plan
+        )
         float(loss)
         steps = 3
         t0 = time.perf_counter()
         for _ in range(steps):
             r, sr = jax.random.split(r)
             params, opt_state, loss = step(
-                params, opt_state, feats, *arrays, sr
+                params, opt_state, feats, *arrays, sr, sort_plan=plan
             )
             float(loss)
         dt = time.perf_counter() - t0
     eps = steps * e / dt
+    # Model FLOPs (fwd+bwd) per step, grouped-backend accounting: per layer
+    # 2 ragged transforms fwd (msg/self: 2·E·d² MACs each) + 2 dx + 2 dW in
+    # the backward → 12·E·d² FLOP·layers, plus the generator MLP heads
+    # (3 heads × [U, hidden→d²] matmuls, fwd+bwd ≈ 3×).
+    L = config.num_layers
+    gen_hidden = max(64, 64 * 2)
+    mlp_macs = 3 * (64 * gen_hidden + gen_hidden * gen_hidden) + (
+        2 * gen_hidden * d * d + gen_hidden * d
+    )
+    flops_per_step = 12 * e * d * d * L + 6 * u * mlp_macs * L
+    achieved = flops_per_step * eps / e
     out = {
         "config": name,
         "nodes": n,
@@ -122,6 +151,8 @@ def run_config(name, n, e, u, d, ref):
         "hidden": d,
         "fwd_bwd_edges_per_s": round(eps, 1),
         "step_ms": round(1e3 * dt / steps, 3),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS, 4),
     }
     if ref:
         out["vs_reference"] = round(eps / ref, 1)

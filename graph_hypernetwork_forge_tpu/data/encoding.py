@@ -28,6 +28,88 @@ from graph_hypernetwork_forge_tpu.utils.shapes import (
 
 
 @dataclasses.dataclass(frozen=True)
+class SortPlan:
+    """Host-precomputed sort permutations enabling sort-free aggregation.
+
+    XLA lowers every unsorted scatter/segment-sum on TPU to a full key sort
+    of the edge indices (see ``ops/segment.py``). Graph structure is static
+    per run, so these permutations are computed once here and passed into
+    jit as plain int32 operands; the compute core then expresses every
+    scatter as (bijective gather → sorted-hint segment-sum) with zero
+    in-jit sorts, in both the forward and the backward pass.
+
+    All arrays are ``[E_pad]`` except ``in_degree`` (``[N]``, the clamped
+    count denominator of reference ``models/hypergnn.py:212-213`` — masked
+    padding edges contribute 0) and ``rel_counts`` (``[U_pad]``, the
+    ragged_dot group sizes, replacing an in-jit ``bincount`` scatter).
+    """
+
+    dst_perm: np.ndarray       # stable argsort of dst over the stored layout
+    inv_dst_perm: np.ndarray   # inverse permutation of dst_perm
+    dst_sorted: np.ndarray     # dst[dst_perm], non-decreasing
+    src_perm: np.ndarray       # stable argsort of src over the stored layout
+    inv_src_perm: np.ndarray
+    src_sorted: np.ndarray     # src[src_perm], non-decreasing
+    in_degree: np.ndarray      # [N] float32 masked in-edge count per node
+    rel_counts: np.ndarray     # [U_pad] int32 edges per relation (masked
+    #                            padding edges counted into relation 0 to
+    #                            match the stored layout's rel_ids)
+
+
+def build_sort_plan(
+    src: np.ndarray,
+    dst: np.ndarray,
+    rel_ids: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    num_rel_pad: int,
+) -> SortPlan:
+    """Compute the :class:`SortPlan` for one stored edge layout."""
+    e = src.shape[0]
+    arange = np.arange(e, dtype=np.int32)
+
+    dst_perm = np.argsort(dst, kind="stable").astype(np.int32)
+    inv_dst = np.empty(e, dtype=np.int32)
+    inv_dst[dst_perm] = arange
+    src_perm = np.argsort(src, kind="stable").astype(np.int32)
+    inv_src = np.empty(e, dtype=np.int32)
+    inv_src[src_perm] = arange
+
+    in_degree = np.zeros(num_nodes, dtype=np.float32)
+    np.add.at(in_degree, dst, edge_mask.astype(np.float32))
+
+    rel_counts = np.bincount(rel_ids, minlength=num_rel_pad).astype(np.int32)
+
+    return SortPlan(
+        dst_perm=dst_perm,
+        inv_dst_perm=inv_dst,
+        dst_sorted=dst[dst_perm].astype(np.int32),
+        src_perm=src_perm,
+        inv_src_perm=inv_src,
+        src_sorted=src[src_perm].astype(np.int32),
+        in_degree=in_degree,
+        rel_counts=rel_counts,
+    )
+
+
+def _sort_plan_flatten(p: "SortPlan"):
+    return (
+        (p.dst_perm, p.inv_dst_perm, p.dst_sorted, p.src_perm,
+         p.inv_src_perm, p.src_sorted, p.in_degree, p.rel_counts),
+        None,
+    )
+
+
+def _sort_plan_unflatten(_aux, children):
+    return SortPlan(*children)
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(SortPlan, _sort_plan_flatten, _sort_plan_unflatten)
+
+
+@dataclasses.dataclass(frozen=True)
 class EncodedGraph:
     """Fixed-shape device-ready encoding of one graph (or subgraph batch).
 
@@ -54,6 +136,7 @@ class EncodedGraph:
     num_relations: int
     unique_texts: Tuple[str, ...]
     rel_sorted: bool = False
+    sort_plan: "SortPlan | None" = None
 
     @property
     def arrays(self) -> tuple:
@@ -65,6 +148,30 @@ class EncodedGraph:
             self.edge_mask,
             self.char_ids,
             self.text_lengths,
+        )
+
+
+def validate_graph_for_config(graph: EncodedGraph, config) -> None:
+    """Host-side guard for the layout promises a config makes.
+
+    ``HyperGNNConfig(rel_sorted=True)`` silently produces WRONG results on
+    edges that are not relation-sorted (``ragged_dot`` assumes
+    group-contiguous rows); this check turns the mismatch into an error at
+    step-construction time. Call it wherever an :class:`EncodedGraph` meets
+    a config (experiments, benchmarks, entry points).
+    """
+    if getattr(config, "rel_sorted", False) and not graph.rel_sorted:
+        raise ValueError(
+            "HyperGNNConfig(rel_sorted=True) requires a relation-sorted edge "
+            "layout — build the graph with "
+            "encode_graph(..., sort_by_relation=True)"
+        )
+    plan = graph.sort_plan
+    if plan is not None and plan.dst_perm.shape != graph.dst.shape:
+        raise ValueError(
+            f"sort_plan was built for {plan.dst_perm.shape[0]} edges but the "
+            f"graph stores {graph.dst.shape[0]} — rebuild with "
+            "encode_graph(..., with_sort_plan=True)"
         )
 
 
@@ -100,6 +207,7 @@ def encode_graph(
     *,
     pad: bool = True,
     sort_by_relation: bool = False,
+    with_sort_plan: bool = False,
 ) -> EncodedGraph:
     """Build an :class:`EncodedGraph` from raw connectivity + relation strings.
 
@@ -109,6 +217,12 @@ def encode_graph(
     backend wants — pair it with ``HyperGNNConfig(rel_sorted=True)`` to
     skip the per-step in-jit argsort and unsort permutation entirely
     (each otherwise lowers to a full device sort per layer on TPU).
+
+    ``with_sort_plan=True`` additionally precomputes the :class:`SortPlan`
+    (dst/src sort permutations, in-degrees, relation group sizes) that the
+    compute core uses to eliminate every remaining in-jit scatter sort —
+    pass ``graph.sort_plan`` into the model/train step alongside
+    ``graph.arrays``.
     """
     edge_index = np.asarray(edge_index)
     if edge_index.ndim != 2 or edge_index.shape[0] != 2:
@@ -135,13 +249,27 @@ def encode_graph(
     rids[:e] = rel_ids
     mask[:e] = 1.0
     if sort_by_relation:
-        order = np.argsort(rids, kind="stable")
+        from graph_hypernetwork_forge_tpu.native_bridge import get_native
+
+        native = get_native()
+        if native is not None:
+            # Counting sort in C++ (stable, O(E + U)) — faster than argsort
+            # at multi-million-edge scale.
+            order = native.sort_by_relation(rids, u_pad)
+        else:
+            order = np.argsort(rids, kind="stable")
         src, dst, rids, mask = src[order], dst[order], rids[order], mask[order]
 
     cid = np.zeros((u_pad, char_ids.shape[1]), dtype=np.int32)
     lens = np.ones(u_pad, dtype=np.int32)  # padding rows behave like ""
     cid[:u] = char_ids
     lens[:u] = lengths
+
+    plan = (
+        build_sort_plan(src, dst, rids, mask, int(num_nodes), u_pad)
+        if with_sort_plan
+        else None
+    )
 
     return EncodedGraph(
         src=src,
@@ -155,4 +283,5 @@ def encode_graph(
         num_relations=u,
         unique_texts=tuple(unique_texts),
         rel_sorted=sort_by_relation,
+        sort_plan=plan,
     )

@@ -138,11 +138,14 @@ def apply_hypergnn(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     return_all_layers: bool = False,
+    sort_plan=None,
 ):
     """Pure forward pass over fixed-shape arrays → ``[N, hidden_dim]``.
 
     With ``return_all_layers=True`` returns the list of per-layer outputs
-    (post-norm) for the parity harness.
+    (post-norm) for the parity harness. ``sort_plan`` (from
+    ``encode_graph(with_sort_plan=True)``) enables the sort-free
+    aggregation path in ``ops/message_passing.py``.
     """
     use_dropout = train and config.dropout > 0.0
     if use_dropout and rng is None:
@@ -179,6 +182,7 @@ def apply_hypergnn(
             backend=config.backend,
             precision=prec,
             rel_sorted=config.rel_sorted,
+            sort_plan=sort_plan,
         )
         h_new = h_new + h  # residual (always shape-compatible: hidden→hidden)
         h_new = jax.nn.relu(h_new)
@@ -226,6 +230,7 @@ def _forward_jit(
     char_ids,
     text_lengths,
     rng,
+    sort_plan=None,
     train: bool = False,
 ):
     return apply_hypergnn(
@@ -240,6 +245,7 @@ def _forward_jit(
         text_lengths,
         train=train,
         rng=rng,
+        sort_plan=sort_plan,
     )
 
 
@@ -280,7 +286,12 @@ class HyperGNN:
         self.dropout = dropout
         if key is None:
             key = _fresh_key()
-        self.params = init_hypergnn(self.config, key)
+        init_key, self._dropout_key = jax.random.split(key)
+        self.params = init_hypergnn(self.config, init_key)
+        # Training-mode flag mirroring torch's nn.Module contract (modules
+        # start in training mode; reference demo.py:82,121 toggles it with
+        # model.train()/model.eval() to enable/disable dropout).
+        self.training = True
 
     # ------------------------------------------------------------------
     def preprocess(
@@ -294,9 +305,22 @@ class HyperGNN:
         node_features,
         graph: EncodedGraph,
         *,
-        train: bool = False,
+        train: Optional[bool] = None,
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
+        from graph_hypernetwork_forge_tpu.data.encoding import (
+            validate_graph_for_config,
+        )
+
+        validate_graph_for_config(graph, self.config)
+        if train is None:
+            train = self.training
+        use_dropout = train and self.config.dropout > 0.0
+        if use_dropout and rng is None:
+            # Stateful auto-rng mirroring torch's implicit global generator
+            # (reference F.dropout at models/hypergnn.py:293-294 draws from
+            # the default RNG; here each call advances a held key).
+            self._dropout_key, rng = jax.random.split(self._dropout_key)
         node_features = jnp.asarray(np.asarray(node_features), dtype=jnp.float32)
         src, dst, rel_ids, edge_mask, char_ids, lengths = (
             jnp.asarray(a) for a in graph.arrays
@@ -312,7 +336,8 @@ class HyperGNN:
             char_ids,
             lengths,
             rng,
-            train=train and self.config.dropout > 0.0,
+            graph.sort_plan,
+            train=use_dropout,
         )
 
     def __call__(
@@ -321,7 +346,7 @@ class HyperGNN:
         edge_index,
         edge_texts: Sequence[str],
         *,
-        train: bool = False,
+        train: Optional[bool] = None,
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         num_nodes = int(np.asarray(node_features).shape[0])
@@ -347,7 +372,13 @@ class HyperGNN:
         return self.params["layer_norms"]
 
     def eval(self) -> "HyperGNN":
+        """Switch to inference mode: dropout disabled (reference
+        ``demo.py:121``, torch ``nn.Module.eval`` semantics)."""
+        self.training = False
         return self
 
-    def train(self) -> "HyperGNN":
+    def train(self, mode: bool = True) -> "HyperGNN":
+        """Switch to training mode: dropout active when ``config.dropout > 0``
+        (reference ``demo.py:82``, torch ``nn.Module.train`` semantics)."""
+        self.training = mode
         return self

@@ -275,7 +275,7 @@ _ragged_transform.defvjp(_ragged_transform_fwd, _ragged_transform_bwd)
 
 
 def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, precision,
-                                rel_sorted=False):
+                                rel_sorted=False, sort_plan=None):
     """Per-edge contributions via relation-grouped ragged matmul.
 
     Sorts edges by relation id (stable, in-jit), then runs
@@ -287,6 +287,28 @@ def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, preci
     (U=237, N=50k, E=1M → 12× fewer FLOPs).
     """
     u = w_msg.shape[0]
+    if sort_plan is not None and rel_sorted:
+        # Fully sort-free path: group sizes are host-precomputed (an in-jit
+        # bincount is itself a scatter → device sort), and every gather
+        # routes its backward through the plan's permutations so the
+        # cotangent scatters become sorted-hint segment-sums
+        # (ops/segment.py). Zero in-jit sorts, forward or backward.
+        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+
+        n = h.shape[0]
+        group_sizes = sort_plan.rel_counts[:u]
+        h_src = take_rows_sorted(
+            n, h, src, sort_plan.src_perm, sort_plan.src_sorted
+        )
+        h_dst = take_rows_sorted(
+            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted
+        )
+        # rel_ids are already non-decreasing in the rel-sorted layout, so
+        # the bias cotangent needs no re-permute (perm_to_sorted=None).
+        bias_e = take_rows_sorted(u, bias, rel_ids, None, rel_ids)
+        msg = _ragged_transform(h_src, w_msg, group_sizes, precision) + bias_e
+        self_c = _ragged_transform(h_dst, w_self, group_sizes, precision)
+        return msg, self_c
     group_sizes = jnp.bincount(rel_ids, length=u).astype(jnp.int32)
     if rel_sorted:
         # Edges are already relation-sorted (host-side layout,
@@ -357,6 +379,7 @@ def relational_message_passing(
     backend: Backend = "auto",
     precision="highest",
     rel_sorted: bool = False,
+    sort_plan=None,
 ) -> jax.Array:
     """One round of relation-conditioned message passing.
 
@@ -378,6 +401,15 @@ def relational_message_passing(
             by ``rel_ids`` (``encode_graph(sort_by_relation=True)``). Lets
             the grouped backend skip its per-layer device sorts. Passing
             True on unsorted edges produces WRONG results.
+        sort_plan: optional host-precomputed
+            :class:`~graph_hypernetwork_forge_tpu.data.encoding.SortPlan`
+            (``encode_graph(with_sort_plan=True)``). Eliminates every
+            remaining in-jit scatter sort: the aggregation tail reduces in
+            dst-sorted order via a bijective permute, degree counts and
+            ragged group sizes come precomputed, and (with
+            ``rel_sorted=True`` on the grouped backend) the backward-pass
+            gather cotangents reduce with sorted indices. The plan MUST
+            have been built for exactly this edge layout.
 
     Returns:
         ``[N, d_out]`` updated node embeddings (pre-residual).
@@ -418,19 +450,30 @@ def relational_message_passing(
     elif chosen == "grouped":
         msg, self_contrib = _edge_contributions_grouped(
             h, src, dst, rel_ids, w_msg, w_self, bias, precision,
-            rel_sorted=rel_sorted,
+            rel_sorted=rel_sorted, sort_plan=sort_plan,
         )
     else:
         msg, self_contrib = _edge_contributions_gather(
             h, src, dst, rel_ids, w_msg, w_self, bias, precision
         )
 
-    cnt = jax.ops.segment_sum(
-        jnp.ones(dst.shape, h.dtype) if edge_mask is None else edge_mask,
-        dst,
-        num_segments=n,
+    from graph_hypernetwork_forge_tpu.ops.segment import (
+        segment_sum,
+        sorted_segment_sum_by_plan,
     )
-    cnt = jnp.maximum(cnt, 1.0)[:, None]
+
+    if sort_plan is not None:
+        # Sort-free tail: degree counts come precomputed and the reduction
+        # runs in dst-sorted order via a bijective permute + sorted-hint
+        # segment-sum (backward is gather-only); no in-jit key sort.
+        cnt = jnp.maximum(sort_plan.in_degree[:n], 1.0)[:, None].astype(h.dtype)
+    else:
+        cnt = segment_sum(
+            jnp.ones(dst.shape, h.dtype) if edge_mask is None else edge_mask,
+            dst,
+            num_segments=n,
+        )
+        cnt = jnp.maximum(cnt, 1.0)[:, None]
     # Two true divides (not a shared reciprocal) to match the reference's
     # rounding: agg/cnt + self/cnt, reference models/hypergnn.py:213,220,230.
     d_out = msg.shape[-1]
@@ -442,13 +485,29 @@ def relational_message_passing(
         if edge_mask is not None:
             msg = msg * edge_mask[:, None]
             self_contrib = self_contrib * edge_mask[:, None]
-        total_msg = jax.ops.segment_sum(msg, dst, num_segments=n)
-        total_self = jax.ops.segment_sum(self_contrib, dst, num_segments=n)
+        if sort_plan is not None:
+            total_msg = sorted_segment_sum_by_plan(
+                msg, sort_plan.dst_perm, sort_plan.inv_dst_perm,
+                sort_plan.dst_sorted, n,
+            )
+            total_self = sorted_segment_sum_by_plan(
+                self_contrib, sort_plan.dst_perm, sort_plan.inv_dst_perm,
+                sort_plan.dst_sorted, n,
+            )
+        else:
+            total_msg = segment_sum(msg, dst, num_segments=n)
+            total_self = segment_sum(self_contrib, dst, num_segments=n)
         return total_msg / cnt + total_self / cnt
     # Single fused scatter: [E, 2·d_out] segment-sum covers both the message
     # and self-loop accumulators in one pass (one key sort instead of two).
     both = jnp.concatenate([msg, self_contrib], axis=-1)
     if edge_mask is not None:
         both = both * edge_mask[:, None]
-    total = jax.ops.segment_sum(both, dst, num_segments=n)
+    if sort_plan is not None:
+        total = sorted_segment_sum_by_plan(
+            both, sort_plan.dst_perm, sort_plan.inv_dst_perm,
+            sort_plan.dst_sorted, n,
+        )
+    else:
+        total = segment_sum(both, dst, num_segments=n)
     return total[:, :d_out] / cnt + total[:, d_out:] / cnt

@@ -47,17 +47,22 @@ def make_data_parallel_step(
     batch_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
-    def per_graph_loss(params, feats, src, dst, rel, mask, chars, lens, neg):
+    use_dropout = config.dropout > 0.0
+
+    def per_graph_loss(params, feats, src, dst, rel, mask, chars, lens, neg,
+                       drop_rng):
         embs = apply_hypergnn(
-            config, params, feats, src, dst, rel, mask, chars, lens
+            config, params, feats, src, dst, rel, mask, chars, lens,
+            train=use_dropout, rng=drop_rng,
         )
         return link_prediction_loss(
             embs, src, dst, neg, margin=margin, edge_mask=mask
         )
 
-    def loss_fn(params, feats, src, dst, rel, mask, chars, lens, neg):
-        losses = jax.vmap(per_graph_loss, in_axes=(None,) + (0,) * 8)(
-            params, feats, src, dst, rel, mask, chars, lens, neg
+    def loss_fn(params, feats, src, dst, rel, mask, chars, lens, neg,
+                drop_rngs):
+        losses = jax.vmap(per_graph_loss, in_axes=(None,) + (0,) * 9)(
+            params, feats, src, dst, rel, mask, chars, lens, neg, drop_rngs
         )
         return jnp.mean(losses)
 
@@ -70,11 +75,15 @@ def make_data_parallel_step(
             for x in (feats, src, dst, rel, mask, chars, lens)
         )
         params = jax.lax.with_sharding_constraint(params, replicated)
+        neg_rng, drop_rng = jax.random.split(rng)
         neg = jax.random.randint(
-            rng, src.shape, 0, feats.shape[1], dtype=src.dtype
+            neg_rng, src.shape, 0, feats.shape[1], dtype=src.dtype
         )
+        # Per-microbatch dropout keys (unused when config.dropout == 0,
+        # matching training/train.py:80's train-when-configured semantics).
+        drop_rngs = jax.random.split(drop_rng, src.shape[0])
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, feats, src, dst, rel, mask, chars, lens, neg
+            params, feats, src, dst, rel, mask, chars, lens, neg, drop_rngs
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

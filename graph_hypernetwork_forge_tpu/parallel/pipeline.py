@@ -78,6 +78,8 @@ def pipelined_forward(
     text_lengths: jax.Array,
     *,
     axis: str = "pipe",
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Forward M microbatches through a layer-staged pipeline → ``[M, N, H]``.
 
@@ -87,12 +89,16 @@ def pipelined_forward(
         edge_mask: ``[M, E]`` float padding mask (or None for all-real edges).
         char_ids, text_lengths: ``[M, U, Lmax]`` / ``[M, U]`` tokenized
             relation texts per microbatch.
+        train: enable dropout (requires ``rng``) when ``config.dropout > 0``,
+            mirroring the single-device ``apply_hypergnn`` contract. Dropout
+            keys are derived per (microbatch, global layer) with
+            ``fold_in``, so they are independent of the pipeline schedule.
+        rng: base PRNG key for dropout.
 
     All microbatches must share static shapes (the padding discipline of
     ``data/encoding.py``). ``config.num_layers`` must divide evenly by the
-    ``axis`` size. Inference-mode semantics (no dropout) — pipelined
-    *training* wraps this in ``jax.grad``; the tick scan has a static trip
-    count so reverse-mode differentiation works.
+    ``axis`` size. Pipelined *training* wraps this in ``jax.grad``; the
+    tick scan has a static trip count so reverse-mode differentiation works.
     """
     n_stages = mesh.shape[axis]
     if config.num_layers % n_stages != 0:
@@ -103,6 +109,13 @@ def pipelined_forward(
     m = node_features.shape[0]
     n = node_features.shape[1]
     prec = resolve_precision(config.precision)
+    layers_per_stage = config.num_layers // n_stages
+
+    use_dropout = train and config.dropout > 0.0
+    if use_dropout and rng is None:
+        raise ValueError("dropout requires an rng key in training mode")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)  # inert placeholder (dropout off)
 
     if edge_mask is None:
         edge_mask = jnp.ones(src.shape, dtype=node_features.dtype)
@@ -124,6 +137,7 @@ def pipelined_forward(
             P(),
             P(),
             P(),
+            P(),  # dropout base key (replicated)
         ),
         out_specs=P(),
         check_vma=False,
@@ -140,6 +154,7 @@ def pipelined_forward(
         mask_a,
         chars_a,
         lens_a,
+        base_rng,
     ):
         s = jax.lax.axis_index(axis)
 
@@ -158,10 +173,21 @@ def pipelined_forward(
             mask_mb = mask_a[mb]
             text_mb = text_all[mb]
 
-            def one_layer(h, layer_params):
-                gen_p, norm_p = layer_params
+            def one_layer(h, layer_xs):
+                gen_p, norm_p, local_idx = layer_xs
+                gen_rng = drop_rng = None
+                if use_dropout:
+                    # Key depends only on (microbatch, global layer) — the
+                    # pipeline schedule (which tick/stage runs it) does not
+                    # change the randomness.
+                    global_layer = s * layers_per_stage + local_idx
+                    layer_key = jax.random.fold_in(
+                        jax.random.fold_in(base_rng, mb), global_layer
+                    )
+                    gen_rng, drop_rng = jax.random.split(layer_key)
                 weights = apply_weight_generator(
-                    config.weight_generator, gen_p, text_mb
+                    config.weight_generator, gen_p, text_mb,
+                    train=use_dropout, rng=gen_rng,
                 )
                 h_new = relational_message_passing(
                     h,
@@ -175,11 +201,22 @@ def pipelined_forward(
                     edge_mask=mask_mb,
                     backend=config.backend,
                     precision=config.precision,
+                    rel_sorted=config.rel_sorted,
                 )
                 h_new = jax.nn.relu(h_new + h)
+                if use_dropout:
+                    keep = jax.random.bernoulli(
+                        drop_rng, 1.0 - config.dropout, h_new.shape
+                    )
+                    h_new = jnp.where(keep, h_new / (1.0 - config.dropout), 0.0)
                 return layer_norm_apply(norm_p, h_new), None
 
-            h_out, _ = jax.lax.scan(one_layer, h_in, (gens_local, norms_local))
+            if config.remat:
+                one_layer = jax.checkpoint(one_layer)
+            h_out, _ = jax.lax.scan(
+                one_layer, h_in,
+                (gens_local, norms_local, jnp.arange(layers_per_stage)),
+            )
             return h_out
 
         def tick(carry, t):
@@ -222,6 +259,7 @@ def pipelined_forward(
         edge_mask,
         char_ids,
         text_lengths,
+        rng,
     )
 
 
@@ -250,10 +288,13 @@ def make_pipelined_train_step(
         link_prediction_loss,
     )
 
-    def loss_fn(params, feats, src, dst, rel, mask, chars, lens, neg_dst):
+    use_dropout = config.dropout > 0.0
+
+    def loss_fn(params, feats, src, dst, rel, mask, chars, lens, neg_dst,
+                drop_rng):
         embs = pipelined_forward(
             mesh, config, params, feats, src, dst, rel, mask, chars, lens,
-            axis=axis,
+            axis=axis, train=use_dropout, rng=drop_rng,
         )
         losses = jax.vmap(
             lambda e, s, d, nd, mk: link_prediction_loss(
@@ -264,11 +305,12 @@ def make_pipelined_train_step(
 
     @jax.jit
     def step(params, opt_state, feats, src, dst, rel, mask, chars, lens, rng):
+        neg_rng, drop_rng = jax.random.split(rng)
         neg_dst = jax.random.randint(
-            rng, src.shape, 0, feats.shape[1], dtype=src.dtype
+            neg_rng, src.shape, 0, feats.shape[1], dtype=src.dtype
         )
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, feats, src, dst, rel, mask, chars, lens, neg_dst
+            params, feats, src, dst, rel, mask, chars, lens, neg_dst, drop_rng
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

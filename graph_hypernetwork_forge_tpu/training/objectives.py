@@ -44,3 +44,47 @@ def link_prediction_loss(
     pos = score_triple(embs[src], embs[dst])
     neg = score_triple(embs[src], embs[neg_dst])
     return margin_ranking_loss(pos, neg, margin=margin, edge_mask=edge_mask)
+
+
+def link_prediction_loss_sorted(
+    embs: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    sort_plan,
+    roll_shift: jax.Array,
+    margin: float = 1.0,
+    edge_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sort-free margin-ranking loss over all positives.
+
+    Numerically the same objective as :func:`link_prediction_loss` with
+    negatives formed by *permuting the positive tails* — the reference's
+    actual negative-sampling scheme (``demo.py:93`` uses ``torch.randperm``
+    over dst), here realized as a uniform random rotation ``dst[(i + k) %
+    E]`` so the whole loss (forward AND backward) lowers without a single
+    device sort:
+
+    - the ``embs[src]`` / ``embs[dst]`` gathers route their cotangents
+      through the :class:`SortPlan` permutations
+      (``ops/segment.take_rows_sorted`` → sorted-hint segment-sums),
+    - the rotation is ``jnp.roll``, whose transpose is the inverse roll —
+      no scatter at all for the negative term.
+
+    With edge padding, a rotated slot can land on a padded entry (tail =
+    node 0); the positive-side ``edge_mask`` still governs which pairs
+    enter the mean, matching the masked-mean semantics of
+    :func:`margin_ranking_loss`.
+    """
+    from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+
+    n = embs.shape[0]
+    pos_h = take_rows_sorted(
+        n, embs, src, sort_plan.src_perm, sort_plan.src_sorted
+    )
+    pos_t = take_rows_sorted(
+        n, embs, dst, sort_plan.dst_perm, sort_plan.dst_sorted
+    )
+    neg_t = jnp.roll(pos_t, -roll_shift, axis=0)
+    pos = jnp.sum(pos_h * pos_t, axis=-1)
+    neg = jnp.sum(pos_h * neg_t, axis=-1)
+    return margin_ranking_loss(pos, neg, margin=margin, edge_mask=edge_mask)

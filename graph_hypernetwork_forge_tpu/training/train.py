@@ -26,7 +26,10 @@ from graph_hypernetwork_forge_tpu.models.hypergnn import (
     HyperGNNConfig,
     apply_hypergnn,
 )
-from graph_hypernetwork_forge_tpu.training.objectives import link_prediction_loss
+from graph_hypernetwork_forge_tpu.training.objectives import (
+    link_prediction_loss,
+    link_prediction_loss_sorted,
+)
 
 
 @dataclasses.dataclass
@@ -48,6 +51,7 @@ def make_train_step(
     *,
     margin: float = 1.0,
     num_pos_samples: Optional[int] = None,
+    neg_mode: str = "uniform",
 ) -> Callable:
     """Build a jitted ``(params, opt_state, node_features, graph arrays, rng)
     → (params, opt_state, loss)`` step.
@@ -62,11 +66,22 @@ def make_train_step(
     scale — scoring every positive materializes O(E·d) gathers (measured
     8 GB at E=16.7M, d=64); the subsampled estimator keeps the loss
     unbiased over masked edges.
+
+    ``neg_mode="roll"``: negatives are the positive tails under a random
+    rotation — a true permutation of dst like the reference's ``randperm``
+    (``demo.py:93``) — and the whole loss lowers sort-free through the
+    graph's :class:`SortPlan` (which must then be passed to the step).
+    Requires full positives (``num_pos_samples=None``).
     """
+    if neg_mode not in ("uniform", "roll"):
+        raise ValueError(f"unknown neg_mode: {neg_mode!r}")
+    if neg_mode == "roll" and num_pos_samples is not None:
+        raise ValueError("neg_mode='roll' scores all positives; it is "
+                         "incompatible with num_pos_samples")
 
     def loss_fn(params, node_features, src, dst, rel_ids, edge_mask, char_ids,
                 text_lengths, pos_src, pos_dst, pos_mask, neg_dst,
-                dropout_rng):
+                dropout_rng, sort_plan):
         embs = apply_hypergnn(
             config,
             params,
@@ -79,7 +94,14 @@ def make_train_step(
             text_lengths,
             train=config.dropout > 0.0,
             rng=dropout_rng,
+            sort_plan=sort_plan,
         )
+        if neg_mode == "roll":
+            # neg_dst carries the scalar rotation shift in this mode.
+            return link_prediction_loss_sorted(
+                embs, pos_src, pos_dst, sort_plan, neg_dst,
+                margin=margin, edge_mask=pos_mask,
+            )
         return link_prediction_loss(
             embs, pos_src, pos_dst, neg_dst, margin=margin, edge_mask=pos_mask
         )
@@ -97,6 +119,7 @@ def make_train_step(
         text_lengths,
         rng,
         neg_dst: Optional[jax.Array] = None,
+        sort_plan=None,
     ) -> Tuple[Any, Any, jax.Array]:
         neg_rng, pos_rng, dropout_rng = jax.random.split(rng, 3)
         if num_pos_samples is None:
@@ -106,7 +129,11 @@ def make_train_step(
                 pos_rng, (num_pos_samples,), 0, src.shape[0]
             )
             pos_src, pos_dst, pos_mask = src[idx], dst[idx], edge_mask[idx]
-        if neg_dst is None:
+        if neg_mode == "roll":
+            if sort_plan is None:
+                raise ValueError("neg_mode='roll' requires sort_plan")
+            neg_dst = jax.random.randint(neg_rng, (), 1, pos_src.shape[0])
+        elif neg_dst is None:
             neg_dst = jax.random.randint(
                 neg_rng, pos_src.shape, 0, node_features.shape[0],
                 dtype=pos_src.dtype,
@@ -125,6 +152,7 @@ def make_train_step(
             pos_mask,
             neg_dst,
             dropout_rng,
+            sort_plan,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -139,6 +167,8 @@ def make_multi_step(
     num_steps: int,
     *,
     margin: float = 1.0,
+    num_pos_samples: Optional[int] = None,
+    neg_mode: str = "uniform",
 ) -> Callable:
     """Fuse ``num_steps`` training steps into ONE XLA program via
     ``lax.scan``.
@@ -149,35 +179,66 @@ def make_multi_step(
     convenience, not a speedup, for full-graph training. Not donated:
     donated carries trigger per-call relayout recompiles on this backend.
 
+    ``num_pos_samples``: as in :func:`make_train_step` — score a uniform
+    positive subsample per step instead of all E (required at
+    multi-million-edge scale where scoring every positive OOMs).
+
     Returns ``(params, opt_state, node_features, *graph arrays, rng) →
     (params, opt_state, losses [num_steps])``.
     """
+    if neg_mode not in ("uniform", "roll"):
+        raise ValueError(f"unknown neg_mode: {neg_mode!r}")
+    if neg_mode == "roll" and num_pos_samples is not None:
+        raise ValueError("neg_mode='roll' scores all positives; it is "
+                         "incompatible with num_pos_samples")
 
     def loss_fn(params, node_features, src, dst, rel_ids, edge_mask, char_ids,
-                text_lengths, neg_dst, dropout_rng):
+                text_lengths, pos_src, pos_dst, pos_mask, neg_dst,
+                dropout_rng, sort_plan):
         embs = apply_hypergnn(
             config, params, node_features, src, dst, rel_ids, edge_mask,
             char_ids, text_lengths,
             train=config.dropout > 0.0, rng=dropout_rng,
+            sort_plan=sort_plan,
         )
+        if neg_mode == "roll":
+            return link_prediction_loss_sorted(
+                embs, pos_src, pos_dst, sort_plan, neg_dst,
+                margin=margin, edge_mask=pos_mask,
+            )
         return link_prediction_loss(
-            embs, src, dst, neg_dst, margin=margin, edge_mask=edge_mask
+            embs, pos_src, pos_dst, neg_dst, margin=margin, edge_mask=pos_mask
         )
 
     @jax.jit
     def multi_step(params, opt_state, node_features, src, dst, rel_ids,
-                   edge_mask, char_ids, text_lengths, rng):
+                   edge_mask, char_ids, text_lengths, rng, sort_plan=None):
+        if neg_mode == "roll" and sort_plan is None:
+            raise ValueError("neg_mode='roll' requires sort_plan")
+
         def body(carry, step_rng):
             params, opt_state = carry
             # Same split layout as make_train_step (neg, pos, dropout) so
             # scan-fused and single-step training are step-for-step equal.
-            neg_rng, _pos_rng, dropout_rng = jax.random.split(step_rng, 3)
-            neg_dst = jax.random.randint(
-                neg_rng, src.shape, 0, node_features.shape[0], dtype=src.dtype
-            )
+            neg_rng, pos_rng, dropout_rng = jax.random.split(step_rng, 3)
+            if num_pos_samples is None:
+                pos_src, pos_dst, pos_mask = src, dst, edge_mask
+            else:
+                idx = jax.random.randint(
+                    pos_rng, (num_pos_samples,), 0, src.shape[0]
+                )
+                pos_src, pos_dst, pos_mask = src[idx], dst[idx], edge_mask[idx]
+            if neg_mode == "roll":
+                neg_dst = jax.random.randint(neg_rng, (), 1, pos_src.shape[0])
+            else:
+                neg_dst = jax.random.randint(
+                    neg_rng, pos_src.shape, 0, node_features.shape[0],
+                    dtype=pos_src.dtype,
+                )
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, node_features, src, dst, rel_ids, edge_mask,
-                char_ids, text_lengths, neg_dst, dropout_rng,
+                char_ids, text_lengths, pos_src, pos_dst, pos_mask, neg_dst,
+                dropout_rng, sort_plan,
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -217,7 +278,8 @@ def train(
     for step in range(num_steps):
         rng, step_rng = jax.random.split(rng)
         params, opt_state, loss = step_fn(
-            params, opt_state, node_features, *arrays, step_rng
+            params, opt_state, node_features, *arrays, step_rng,
+            sort_plan=graph.sort_plan,
         )
         losses.append(float(loss))
         if log_every and (step + 1) % log_every == 0:

@@ -141,8 +141,10 @@ class TestPipelinedForward:
         )
         assert np.isfinite(float(loss))
 
-        # Sequential equivalent with the same negatives.
-        neg_dst = jax.random.randint(rng, src.shape, 0, N_NODES, dtype=src.dtype)
+        # Sequential equivalent with the same negatives (the pipelined step
+        # splits its rng into (neg, dropout) keys; dropout is off here).
+        neg_rng, _drop_rng = jax.random.split(rng)
+        neg_dst = jax.random.randint(neg_rng, src.shape, 0, N_NODES, dtype=src.dtype)
 
         def seq_loss(p):
             losses = []
@@ -176,3 +178,87 @@ class TestPipelinedForward:
             assert leaf.shape[0] == config.num_layers
         for leaf in jax.tree_util.tree_leaves(norms):
             assert leaf.shape[0] == config.num_layers
+
+
+class TestPipelineDropoutAndDepth:
+    def test_pipelined_dropout_train_step(self):
+        """Dropout-regularized pipelined training runs, is finite, and is
+        stochastic across rng keys (ADVICE r1: dropout must not be silently
+        ignored in the pipeline)."""
+        import optax
+
+        config = HyperGNNConfig(
+            text_dim=16, node_feat_dim=8, hidden_dim=HIDDEN, num_layers=4,
+            dropout=0.3,
+        )
+        params = init_hypergnn(config, jax.random.PRNGKey(1))
+        feats, arrays, _ = _make_microbatches(3, seed=5)
+        mesh = make_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+        optimizer = optax.adam(1e-2)
+        opt_state = optimizer.init(params)
+        step = make_pipelined_train_step(mesh, config, optimizer)
+        _, _, loss_a = step(
+            params, opt_state, feats, *arrays, jax.random.PRNGKey(10)
+        )
+        _, _, loss_b = step(
+            params, opt_state, feats, *arrays, jax.random.PRNGKey(11)
+        )
+        assert np.isfinite(float(loss_a)) and np.isfinite(float(loss_b))
+        # Different dropout/negative keys -> different losses.
+        assert float(loss_a) != float(loss_b)
+
+    def test_pipelined_dropout_forward_matches_nothing_dropped_when_eval(self):
+        """train=False pipelined forward of a dropout config == single-device
+        eval forward (dropout correctly disabled)."""
+        config = HyperGNNConfig(
+            text_dim=16, node_feat_dim=8, hidden_dim=HIDDEN, num_layers=4,
+            dropout=0.5,
+        )
+        params = init_hypergnn(config, jax.random.PRNGKey(2))
+        feats, arrays, _ = _make_microbatches(2, seed=6)
+        mesh = make_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+        out = pipelined_forward(mesh, config, params, feats, *arrays)
+        for mb in range(2):
+            ref = apply_hypergnn(
+                config, params, feats[mb], *(a[mb] for a in arrays)
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[mb]), np.asarray(ref), atol=2e-5
+            )
+
+    def test_deep_pipeline_l8(self):
+        """8 layers over 4 stages (2 layers/stage) matches single device."""
+        config = HyperGNNConfig(
+            text_dim=16, node_feat_dim=8, hidden_dim=HIDDEN, num_layers=8,
+        )
+        params = init_hypergnn(config, jax.random.PRNGKey(3))
+        feats, arrays, _ = _make_microbatches(3, seed=7)
+        mesh = make_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+        out = pipelined_forward(mesh, config, params, feats, *arrays)
+        for mb in range(3):
+            ref = apply_hypergnn(
+                config, params, feats[mb], *(a[mb] for a in arrays)
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[mb]), np.asarray(ref), atol=2e-5
+            )
+
+    def test_pipeline_remat_matches(self):
+        config = HyperGNNConfig(
+            text_dim=16, node_feat_dim=8, hidden_dim=HIDDEN, num_layers=4,
+            remat=True,
+        )
+        params = init_hypergnn(config, jax.random.PRNGKey(4))
+        feats, arrays, _ = _make_microbatches(2, seed=8)
+        mesh = make_mesh((4,), ("pipe",), devices=jax.devices()[:4])
+        out = pipelined_forward(mesh, config, params, feats, *arrays)
+        ref_cfg = HyperGNNConfig(
+            text_dim=16, node_feat_dim=8, hidden_dim=HIDDEN, num_layers=4,
+        )
+        for mb in range(2):
+            ref = apply_hypergnn(
+                ref_cfg, params, feats[mb], *(a[mb] for a in arrays)
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[mb]), np.asarray(ref), atol=2e-5
+            )
