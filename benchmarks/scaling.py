@@ -163,6 +163,9 @@ def main():
     configs = list(CONFIGS)
     if "--xxl" in sys.argv:
         configs = [XXL]
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        configs = [c for c in configs + [XXL] if c[0] in names]
     for cfg in configs:
         run_config(*cfg)
 

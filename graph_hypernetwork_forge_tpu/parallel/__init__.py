@@ -1,5 +1,10 @@
 """Parallelism layer: device meshes, GSPMD shardings, explicit collectives."""
 
+from graph_hypernetwork_forge_tpu.parallel.composed import (
+    composed_forward,
+    make_composed_train_step,
+    prepare_composed_inputs,
+)
 from graph_hypernetwork_forge_tpu.parallel.edge_partition import (
     edge_partitioned_message_passing,
 )
@@ -27,7 +32,10 @@ from graph_hypernetwork_forge_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "composed_forward",
     "edge_partitioned_message_passing",
+    "make_composed_train_step",
+    "prepare_composed_inputs",
     "graph_array_shardings",
     "hypergnn_param_shardings",
     "make_data_parallel_step",

@@ -1,0 +1,328 @@
+"""Composed multi-device training: relation sharding + node-partitioned
+message passing + gradient reduction in ONE SPMD program.
+
+This is the end-to-end distributed train step (fwd + bwd + Adam) the
+single-op modules build toward (SURVEY.md §7.2.5-6):
+
+- **nodes** are range-sharded over the mesh axis; each device owns the
+  aggregation (and the residual/ReLU/LayerNorm epilogue) for its node rows;
+- **edges** are pre-partitioned by dst ownership
+  (:func:`~graph_hypernetwork_forge_tpu.parallel.node_partition.partition_edges_by_dst`),
+  so segment sums never cross devices;
+- **relations** (the hypernetwork's expert axis) are sharded over the same
+  axis: each device tokenizes/encodes U/k relation texts and generates its
+  slice of every layer's ``[U, d, d]`` weight banks, assembled with one
+  tiled ``all_gather`` per layer (``parallel/relation_sharding.py``
+  semantics, inlined here so the whole step is one program);
+- the **halo** is the v1 dense-boundary exchange: one tiled ``all_gather``
+  of the node embeddings per layer (``parallel/halo.py`` provides the
+  boundary-minimized ``ppermute`` variant);
+- the **loss** is the reference margin-ranking objective over the local
+  edge shard, reduced with ``psum``; gradients of the replicated parameters
+  emerge from the ``shard_map`` transpose (collectives transpose to
+  collectives), and the optimizer update runs replicated.
+
+Exactness: every piece is a reshard of the single-device computation — the
+step's loss and updated parameters match ``training/train.py``'s
+``make_train_step`` to float tolerance on any mesh size (tested on a
+virtual 8-device CPU mesh, ``tests/test_composed.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_hypernetwork_forge_tpu.data.encoding import EncodedGraph
+from graph_hypernetwork_forge_tpu.models.hypergnn import HyperGNNConfig
+from graph_hypernetwork_forge_tpu.models.text_encoder import apply_text_encoder
+from graph_hypernetwork_forge_tpu.models.weight_generator import (
+    apply_weight_generator,
+)
+from graph_hypernetwork_forge_tpu.parallel.node_partition import (
+    partition_edges_by_dst,
+)
+from graph_hypernetwork_forge_tpu.utils.initializers import (
+    layer_norm_apply,
+    linear_apply,
+    resolve_precision,
+)
+from graph_hypernetwork_forge_tpu.utils.shapes import round_up_to_multiple
+
+
+@dataclasses.dataclass(frozen=True)
+class ComposedInputs:
+    """Device-ready shard-major arrays for the composed step."""
+
+    feats: np.ndarray       # [N_pad, F] node-range shardable
+    src: np.ndarray         # [k * cap] shard-major edges (dst-owned)
+    dst: np.ndarray
+    rel_ids: np.ndarray
+    edge_mask: np.ndarray
+    char_ids: np.ndarray    # [U_pad, L], U_pad divisible by k
+    lengths: np.ndarray
+    nodes_per_shard: int
+    num_nodes: int          # true N (un-padded)
+
+
+def prepare_composed_inputs(
+    graph: EncodedGraph, node_features, num_shards: int
+) -> ComposedInputs:
+    """Partition a graph + features for :func:`make_composed_train_step`."""
+    feats = np.asarray(node_features, dtype=np.float32)
+    n = graph.num_nodes
+    src, dst, rel, mask, npp = partition_edges_by_dst(
+        graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
+    )
+    n_pad = npp * num_shards
+    if n_pad > feats.shape[0]:
+        feats = np.pad(feats, ((0, n_pad - feats.shape[0]), (0, 0)))
+
+    u_pad = round_up_to_multiple(graph.char_ids.shape[0], num_shards)
+    char_ids = np.zeros((u_pad, graph.char_ids.shape[1]), dtype=np.int32)
+    lengths = np.ones(u_pad, dtype=np.int32)
+    char_ids[: graph.char_ids.shape[0]] = graph.char_ids
+    lengths[: graph.text_lengths.shape[0]] = graph.text_lengths
+
+    return ComposedInputs(
+        feats=feats,
+        src=src,
+        dst=dst,
+        rel_ids=rel,
+        edge_mask=mask,
+        char_ids=char_ids,
+        lengths=lengths,
+        nodes_per_shard=npp,
+        num_nodes=n,
+    )
+
+
+def make_composed_train_step(
+    mesh: Mesh,
+    config: HyperGNNConfig,
+    optimizer,
+    nodes_per_shard: int,
+    *,
+    axis: str = "edge",
+    margin: float = 1.0,
+    num_nodes: Optional[int] = None,
+):
+    """Jitted fully-sharded train step (fwd + bwd + Adam) on one mesh axis.
+
+    Returns ``step(params, opt_state, inputs..., rng) → (params, opt_state,
+    loss)`` where ``inputs`` are the :class:`ComposedInputs` arrays.
+    Parameters and optimizer state stay replicated; data, edges, and the
+    relation axis are sharded over ``axis``. ``config.dropout`` is honored
+    with per-device row dropout (independent rows per shard — a valid
+    dropout draw, though not bit-identical to any single-device draw).
+    """
+    import optax
+
+    prec = resolve_precision(config.precision)
+
+    def forward_local(params, feats_l, src_l, dst_l, rel_l, mask_l,
+                      chars_l, lens_l, drop_rng):
+        """Per-device forward over the local node/edge/relation shards.
+
+        Runs INSIDE shard_map: ``feats_l [npp, F]``, edge arrays are the
+        local dst-owned slice, ``chars_l/lens_l`` the local relation slice.
+        Returns the local rows of the final embeddings ``[npp, H]``.
+        """
+        use_dropout = drop_rng is not None and config.dropout > 0.0
+        my_idx = jax.lax.axis_index(axis)
+
+        h_local = jax.nn.relu(
+            linear_apply(params["input_proj"], feats_l, precision=prec)
+        )
+        # Relation sharding: encode only the local U/k texts.
+        text_local = apply_text_encoder(
+            params["text_encoder"], chars_l, lens_l, precision=config.precision
+        )
+
+        rng_layer = drop_rng
+        for layer_idx in range(config.num_layers):
+            gen_rng = drop_key = None
+            if use_dropout:
+                rng_layer, gen_rng, drop_key = jax.random.split(rng_layer, 3)
+                gen_rng = jax.random.fold_in(gen_rng, my_idx)
+                drop_key = jax.random.fold_in(drop_key, my_idx)
+            # Expert-parallel weight generation + tiled all_gather of the
+            # full banks (relation_sharding.py semantics).
+            local_w = apply_weight_generator(
+                config.weight_generator,
+                params["weight_generators"][layer_idx],
+                text_local,
+                train=use_dropout,
+                rng=gen_rng,
+            )
+            w = {
+                kk: jax.lax.all_gather(v, axis, tiled=True)
+                for kk, v in local_w.items()
+            }
+            # Halo (dense-boundary v1): assemble full h so any remote src
+            # row is addressable; aggregation itself stays owner-local.
+            h_full = jax.lax.all_gather(h_local, axis, tiled=True)
+            hw = jnp.einsum(
+                "nd,udo->uno", h_full,
+                jnp.concatenate([w["W_msg"], w["W_self"]]),
+                precision=prec,
+            )
+            u = w["W_msg"].shape[0]
+            msg = (hw[rel_l, src_l] + w["bias"][rel_l]) * mask_l[:, None]
+            selfc = hw[rel_l + u, dst_l] * mask_l[:, None]
+            local_dst = dst_l - my_idx * nodes_per_shard
+            agg = jax.ops.segment_sum(msg, local_dst, num_segments=nodes_per_shard)
+            selft = jax.ops.segment_sum(
+                selfc, local_dst, num_segments=nodes_per_shard
+            )
+            cnt = jax.ops.segment_sum(
+                mask_l, local_dst, num_segments=nodes_per_shard
+            )
+            cnt = jnp.maximum(cnt, 1.0)[:, None]
+            h_new = agg / cnt + selft / cnt
+            h_new = jax.nn.relu(h_new + h_local)
+            if use_dropout:
+                keep = jax.random.bernoulli(
+                    drop_key, 1.0 - config.dropout, h_new.shape
+                )
+                h_new = jnp.where(keep, h_new / (1.0 - config.dropout), 0.0)
+            h_local = layer_norm_apply(
+                params["layer_norms"][layer_idx], h_new
+            )
+        return h_local
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),            # params (replicated)
+            P(axis, None),  # feats: node-range sharded
+            P(axis), P(axis), P(axis), P(axis),  # edges: dst-owner sharded
+            P(axis, None), P(axis),              # relations sharded
+            P(axis),        # neg_dst: edge-sharded
+            P(),            # dropout rng (replicated; folded per device)
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _loss_shard(params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l,
+                    lens_l, neg_l, drop_rng):
+        h_local = forward_local(
+            params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l, lens_l,
+            drop_rng,
+        )
+        # Scoring needs arbitrary rows: assemble the full embeddings once.
+        embs = jax.lax.all_gather(h_local, axis, tiled=True)
+        pos = jnp.sum(embs[src_l] * embs[dst_l], axis=-1)
+        neg = jnp.sum(embs[src_l] * embs[neg_l], axis=-1)
+        per_edge = jnp.clip(margin - pos + neg, a_min=0.0) * mask_l
+        # Mask-weighted mean across ALL shards (== reference plain mean
+        # over real edges, demo.py:96).
+        num = jax.lax.psum(jnp.sum(per_edge), axis)
+        den = jax.lax.psum(jnp.sum(mask_l), axis)
+        return num / jnp.maximum(den, 1.0)
+
+    @jax.jit
+    def step(params, opt_state, feats, src, dst, rel, mask, chars, lens, rng):
+        neg_rng, drop_rng = jax.random.split(rng)
+        if config.dropout <= 0.0:
+            drop_rng = None
+        neg_dst = jax.random.randint(
+            neg_rng, src.shape, 0,
+            feats.shape[0] if num_nodes is None else num_nodes,
+            dtype=src.dtype,
+        )
+
+        def loss_fn(p):
+            return _loss_shard(
+                p, feats, src, dst, rel, mask, chars, lens, neg_dst, drop_rng
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_opt_state, loss
+
+    return step
+
+
+def composed_forward(
+    mesh: Mesh,
+    config: HyperGNNConfig,
+    params,
+    inputs: ComposedInputs,
+    *,
+    axis: str = "edge",
+) -> jax.Array:
+    """Inference-mode composed forward → full ``[N_pad, H]`` embeddings."""
+    prec = resolve_precision(config.precision)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis), P(axis), P(axis),
+                  P(axis, None), P(axis)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def _fwd(params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l, lens_l):
+        # Same body as make_composed_train_step.forward_local without dropout.
+        my_idx = jax.lax.axis_index(axis)
+        h_local = jax.nn.relu(
+            linear_apply(params["input_proj"], feats_l, precision=prec)
+        )
+        text_local = apply_text_encoder(
+            params["text_encoder"], chars_l, lens_l, precision=config.precision
+        )
+        for layer_idx in range(config.num_layers):
+            local_w = apply_weight_generator(
+                config.weight_generator,
+                params["weight_generators"][layer_idx],
+                text_local,
+            )
+            w = {
+                kk: jax.lax.all_gather(v, axis, tiled=True)
+                for kk, v in local_w.items()
+            }
+            h_full = jax.lax.all_gather(h_local, axis, tiled=True)
+            hw = jnp.einsum(
+                "nd,udo->uno", h_full,
+                jnp.concatenate([w["W_msg"], w["W_self"]]),
+                precision=prec,
+            )
+            u = w["W_msg"].shape[0]
+            msg = (hw[rel_l, src_l] + w["bias"][rel_l]) * mask_l[:, None]
+            selfc = hw[rel_l + u, dst_l] * mask_l[:, None]
+            local_dst = dst_l - my_idx * inputs.nodes_per_shard
+            agg = jax.ops.segment_sum(
+                msg, local_dst, num_segments=inputs.nodes_per_shard
+            )
+            selft = jax.ops.segment_sum(
+                selfc, local_dst, num_segments=inputs.nodes_per_shard
+            )
+            cnt = jax.ops.segment_sum(
+                mask_l, local_dst, num_segments=inputs.nodes_per_shard
+            )
+            cnt = jnp.maximum(cnt, 1.0)[:, None]
+            h_local = layer_norm_apply(
+                params["layer_norms"][layer_idx],
+                jax.nn.relu(agg / cnt + selft / cnt + h_local),
+            )
+        return h_local
+
+    return _fwd(
+        params,
+        jnp.asarray(inputs.feats),
+        jnp.asarray(inputs.src),
+        jnp.asarray(inputs.dst),
+        jnp.asarray(inputs.rel_ids),
+        jnp.asarray(inputs.edge_mask),
+        jnp.asarray(inputs.char_ids),
+        jnp.asarray(inputs.lengths),
+    )

@@ -130,3 +130,50 @@ class TestPhaseTimer:
         assert timer.counts["fwd"] == 2
         assert timer.totals["fwd"] > 0
         assert "fwd" in timer.report()
+
+
+class TestEvaluateChunked:
+    """The chunked + CSR-filtered evaluator must equal a brute-force oracle."""
+
+    def test_chunked_filtered_matches_bruteforce(self):
+        rng = np.random.default_rng(42)
+        n, b, ek = 57, 301, 400
+        embs = rng.standard_normal((n, 8)).astype(np.float32)
+        src = rng.integers(0, n, b)
+        dst = rng.integers(0, n, b)
+        filt = np.stack([rng.integers(0, n, ek), rng.integers(0, n, ek)])
+
+        # chunk_size < b exercises multi-chunk + padded-last-chunk paths.
+        got = evaluate_link_prediction(
+            embs, src, dst, filter_edges=filt, chunk_size=64
+        )
+
+        # Brute-force oracle (dense, python loops — the r1 implementation).
+        scores = embs @ embs.T
+        by_src = {}
+        for s, t in zip(filt[0], filt[1]):
+            by_src.setdefault(int(s), set()).add(int(t))
+        ranks = []
+        for s, t in zip(src, dst):
+            row = scores[s].copy()
+            true = row[t]
+            for tt in by_src.get(int(s), ()):  # noqa: E501
+                if tt != t:
+                    row[tt] = -np.inf
+            better = np.sum(row > true)
+            ties = np.sum(row == true) - 1
+            ranks.append(1.0 + better + 0.5 * max(ties, 0))
+        ranks = np.asarray(ranks)
+        assert abs(got["mrr"] - float(np.mean(1.0 / ranks))) < 1e-6
+        for k in (1, 3, 10):
+            assert abs(got[f"hits@{k}"] - float(np.mean(ranks <= k))) < 1e-6
+
+    def test_chunked_unfiltered_matches(self):
+        rng = np.random.default_rng(7)
+        n, b = 33, 150
+        embs = rng.standard_normal((n, 4)).astype(np.float32)
+        src = rng.integers(0, n, b)
+        dst = rng.integers(0, n, b)
+        a = evaluate_link_prediction(embs, src, dst, chunk_size=32)
+        bfull = evaluate_link_prediction(embs, src, dst, chunk_size=4096)
+        assert abs(a["mrr"] - bfull["mrr"]) < 1e-9

@@ -1,0 +1,161 @@
+"""Composed multi-device train step: exactness vs single-device training.
+
+``parallel/composed.py`` runs relation-sharded weight generation +
+node-partitioned message passing + loss + gradient reduction in one SPMD
+program. Its loss and post-Adam parameters must match the equivalent
+single-device computation (same negatives, same objective as reference
+``demo.py:79-98``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
+from graph_hypernetwork_forge_tpu.models.hypergnn import (
+    HyperGNNConfig,
+    apply_hypergnn,
+    init_hypergnn,
+)
+from graph_hypernetwork_forge_tpu.parallel.composed import (
+    composed_forward,
+    make_composed_train_step,
+    prepare_composed_inputs,
+)
+from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh
+from graph_hypernetwork_forge_tpu.training.objectives import (
+    link_prediction_loss,
+)
+
+
+def _setup(seed=0, n=26, e=100, u=6, f=8, hidden=16, dropout=0.0):
+    rng = np.random.default_rng(seed)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    texts = [f"relation kind {i}" for i in range(u)]
+    etexts = [texts[i] for i in rng.integers(0, u, e)]
+    graph = encode_graph(ei, etexts, n)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    config = HyperGNNConfig(
+        text_dim=16, node_feat_dim=f, hidden_dim=hidden, num_layers=2,
+        dropout=dropout,
+    )
+    params = init_hypergnn(config, jax.random.PRNGKey(3))
+    return graph, feats, config, params
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_composed_forward_matches_single_device(k):
+    graph, feats, config, params = _setup()
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    inputs = prepare_composed_inputs(graph, feats, k)
+
+    out = composed_forward(mesh, config, params, inputs)
+
+    # Single-device oracle on the SAME partitioned layout (aggregation is
+    # edge-order invariant; padded nodes are extra isolated rows).
+    n_pad = inputs.feats.shape[0]
+    ref = apply_hypergnn(
+        config, params,
+        jnp.asarray(inputs.feats),
+        jnp.asarray(inputs.src), jnp.asarray(inputs.dst),
+        jnp.asarray(inputs.rel_ids), jnp.asarray(inputs.edge_mask),
+        jnp.asarray(inputs.char_ids), jnp.asarray(inputs.lengths),
+    )
+    assert out.shape == (n_pad, config.hidden_dim)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_composed_train_step_matches_single_device():
+    graph, feats, config, params = _setup(seed=4)
+    k = 4
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    inputs = prepare_composed_inputs(graph, feats, k)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_composed_train_step(
+        mesh, config, optimizer, inputs.nodes_per_shard,
+        num_nodes=inputs.num_nodes,
+    )
+    rng = jax.random.PRNGKey(11)
+    arrays = (
+        jnp.asarray(inputs.feats), jnp.asarray(inputs.src),
+        jnp.asarray(inputs.dst), jnp.asarray(inputs.rel_ids),
+        jnp.asarray(inputs.edge_mask), jnp.asarray(inputs.char_ids),
+        jnp.asarray(inputs.lengths),
+    )
+    new_params, _, loss = step(params, opt_state, *arrays, rng)
+    assert np.isfinite(float(loss))
+
+    # Single-device equivalent with identical negatives (same rng split).
+    neg_rng, _ = jax.random.split(rng)
+    neg = jax.random.randint(
+        neg_rng, inputs.src.shape, 0, inputs.num_nodes,
+        dtype=jnp.asarray(inputs.src).dtype,
+    )
+
+    def ref_loss(p):
+        embs = apply_hypergnn(config, p, *arrays)
+        return link_prediction_loss(
+            embs, arrays[1], arrays[2], neg, edge_mask=arrays[4]
+        )
+
+    l_ref, grads = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(l_ref), atol=1e-5)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_params),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_composed_training_decreases_loss():
+    graph, feats, config, params = _setup(seed=5)
+    k = 8
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    inputs = prepare_composed_inputs(graph, feats, k)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_composed_train_step(
+        mesh, config, optimizer, inputs.nodes_per_shard,
+        num_nodes=inputs.num_nodes,
+    )
+    arrays = tuple(
+        jnp.asarray(a) for a in (
+            inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+            inputs.edge_mask, inputs.char_ids, inputs.lengths,
+        )
+    )
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(12):
+        rng, sr = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, *arrays, sr)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] <= losses[0]
+
+
+def test_composed_dropout_runs():
+    graph, feats, config, params = _setup(seed=6, dropout=0.3)
+    k = 2
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    inputs = prepare_composed_inputs(graph, feats, k)
+    optimizer = optax.adam(1e-3)
+    step = make_composed_train_step(
+        mesh, config, optimizer, inputs.nodes_per_shard,
+        num_nodes=inputs.num_nodes,
+    )
+    arrays = tuple(
+        jnp.asarray(a) for a in (
+            inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+            inputs.edge_mask, inputs.char_ids, inputs.lengths,
+        )
+    )
+    _, _, la = step(params, optimizer.init(params), *arrays, jax.random.PRNGKey(1))
+    _, _, lb = step(params, optimizer.init(params), *arrays, jax.random.PRNGKey(2))
+    assert np.isfinite(float(la)) and np.isfinite(float(lb))
+    assert float(la) != float(lb)  # dropout + negatives actually random
