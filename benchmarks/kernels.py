@@ -62,10 +62,13 @@ def run(name, n, e, u, d, reps=5):
         # Fuse `fused` iterations into one program (lax.scan, carry feeds a
         # perturbation into h to defeat CSE) so the ~30 ms host-fetch
         # round-trip on this tunneled stack is amortized out of the number.
+        # Full-output reductions keep every edge's contribution live — a
+        # [0, 0] probe would let XLA narrow/DCE per-edge work, and unevenly
+        # across backends (ragged_dot is opaque; dense/gather are not).
         def prog(h, src, dst, rel, w_msg, w_self, bias):
             def body(c, _):
                 m, s = fn(h + c, src, dst, rel, w_msg, w_self, bias)
-                return m[0, 0] * 1e-20, m[0, 0] + s[0, 0]
+                return jnp.sum(m) * 1e-20, jnp.sum(m) + jnp.sum(s)
 
             _, ys = jax.lax.scan(body, jnp.float32(0.0), length=fused)
             return ys

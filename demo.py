@@ -23,26 +23,24 @@ from graph_hypernetwork_forge_tpu.training import train
 
 
 def print_section(title: str) -> None:
-    print(f"\n{'=' * 60}")
-    print(f"  {title}")
-    print("=" * 60)
+    print(f"\n── {title} {'─' * max(0, 56 - len(title))}")
 
 
 def main() -> None:
     t0 = time.perf_counter()
 
     # 1. Build the toy KG -------------------------------------------------
-    print_section("Knowledge Graph")
+    print_section("1. Toy knowledge graph")
     kg = ToyKnowledgeGraph(feat_dim=16)
     print(kg)
-    print(f"\nNodes: {kg.node_names}")
-    print("\nEdges (src, dst, relation):")
+    print(f"\nNode names: {kg.node_names}")
+    print("\nEdge list (head --[relation]--> tail):")
     for src, dst, rel in kg.edge_data:
-        print(f"  {kg.node_names[src]:12s} --[{rel}]--> {kg.node_names[dst]}")
-    print(f"\nUnique relation types: {kg.relation_types}")
+        print(f"  {kg.node_names[src]:>12s} ={rel!r}=> {kg.node_names[dst]}")
+    print(f"\nDistinct relation strings: {kg.relation_types}")
 
     # 2. Build the model --------------------------------------------------
-    print_section("Model")
+    print_section("2. HyperGNN model")
     model = HyperGNN(
         text_dim=64,
         node_feat_dim=kg.feat_dim,
@@ -51,18 +49,18 @@ def main() -> None:
         dropout=0.0,
     )
     print(f"Backend devices: {jax.devices()}")
-    print(f"Total parameters: {model.num_parameters():,}")
+    print(f"Parameter count: {model.num_parameters():,}")
 
     # 3. Forward pass (untrained) -----------------------------------------
-    print_section("Forward pass (untrained)")
+    print_section("3. Untrained forward pass")
     node_embs = model(kg.node_features, kg.edge_index, kg.edge_texts)
-    print(f"Output shape: {node_embs.shape}  (expected [{kg.num_nodes}, 32])")
-    print(f"No NaNs: {not bool(jnp.isnan(node_embs).any())}")
+    print(f"Embedding matrix: {node_embs.shape}  (want [{kg.num_nodes}, 32])")
+    print(f"All values finite: {bool(jnp.isfinite(node_embs).all())}")
     norms = jnp.linalg.norm(node_embs, axis=1)
-    print(f"Output norms: {[round(float(x), 4) for x in norms]}")
+    print(f"Per-node embedding norms: {[round(float(x), 4) for x in norms]}")
 
     # 4. Quick training loop ----------------------------------------------
-    print_section("Quick training demo (20 steps)")
+    print_section("4. Margin-ranking training (20 Adam steps)")
     graph = model.preprocess(kg.edge_index, kg.edge_texts, kg.num_nodes)
     model.params, losses = train(
         model.config,
@@ -75,10 +73,10 @@ def main() -> None:
     )
 
     # 5. Zero-shot: new relation type never seen during training ----------
-    print_section("Zero-shot: unseen relation type")
+    print_section("5. Zero-shot transfer to a never-trained relation")
     new_relation = "is colleague of"
-    print(f"New relation: '{new_relation}'")
-    print(f"Was in training set: {new_relation in kg.relation_types}")
+    print(f"Held-out relation text: '{new_relation}'")
+    print(f"Seen during training: {new_relation in kg.relation_types}")
 
     new_src = np.asarray([1, 2], dtype=np.int64)  # Bob, Carol
     new_dst = np.asarray([2, 0], dtype=np.int64)  # Carol, Alice
@@ -88,26 +86,26 @@ def main() -> None:
     new_edge_texts = kg.edge_texts + [new_relation, new_relation]
 
     zs_embs = model(kg.node_features, new_edge_index, new_edge_texts)
-    print(f"Output shape with new relation: {zs_embs.shape}")
-    print(f"No NaNs: {not bool(jnp.isnan(zs_embs).any())}")
+    print(f"Embeddings with the held-out relation wired in: {zs_embs.shape}")
+    print(f"All values finite: {bool(jnp.isfinite(zs_embs).all())}")
     score = float(model.score_triple(zs_embs[1], zs_embs[2]))
-    print(f"Link score Bob→Carol ('{new_relation}'): {score:.4f}")
+    print(f"score(Bob, Carol) under '{new_relation}': {score:.4f}")
 
     # 6. WeightGenerator standalone ---------------------------------------
-    print_section("WeightGenerator standalone")
+    print_section("6. WeightGenerator as a standalone module")
     gen = WeightGenerator(text_dim=64, d_in=32, d_out=32, hidden_dim=128)
     rng = np.random.default_rng(0)
     weights = gen(rng.standard_normal(64).astype(np.float32))
-    print(f"Single-relation output keys: {list(weights.keys())}")
+    print(f"Generated tensors for one relation: {list(weights.keys())}")
     for k, v in weights.items():
         print(f"  {k}: {tuple(v.shape)}")
     batch_weights = gen(rng.standard_normal((5, 64)).astype(np.float32))
-    print("Batched output (batch=5):")
+    print("Same call, batch of 5 relation embeddings:")
     for k, v in batch_weights.items():
         print(f"  {k}: {tuple(v.shape)}")
 
     print_section("Done ✓")
-    print(f"All demos ran successfully in {time.perf_counter() - t0:.2f}s.\n")
+    print(f"Every section completed in {time.perf_counter() - t0:.2f}s total.\n")
 
 
 if __name__ == "__main__":

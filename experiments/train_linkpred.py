@@ -74,6 +74,14 @@ def main(argv=None) -> int:
     p.add_argument("--text-dim", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument(
+        "--lr-schedule", default="constant", choices=["constant", "cosine"],
+        help="cosine = linear warmup (10%% of steps) then cosine decay to 0",
+    )
+    p.add_argument(
+        "--num-negatives", type=int, default=1,
+        help="corrupted tails per positive (mean hinge over K negatives)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", default="highest", choices=["highest", "default"])
     p.add_argument("--checkpoint-dir", default=None)
@@ -104,9 +112,18 @@ def main(argv=None) -> int:
     feats = jnp.asarray(kg.node_features)
     arrays = tuple(jnp.asarray(a) for a in graph.arrays)
 
-    optimizer = optax.adam(args.lr)
+    if args.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=args.lr,
+            warmup_steps=max(1, args.steps // 10),
+            decay_steps=max(2, args.steps),
+        )
+    else:
+        lr = args.lr
+    optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(config, optimizer)
+    step_fn = make_train_step(config, optimizer, num_negatives=args.num_negatives)
     logger = MetricsLogger([StdoutWriter(every=max(1, args.eval_every // 5))])
 
     # Message-passing graph for eval includes test edges (standard

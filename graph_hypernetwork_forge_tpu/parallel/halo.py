@@ -1,0 +1,259 @@
+"""Boundary-minimized halo exchange for node-partitioned message passing.
+
+``parallel/node_partition.py`` is the dense-boundary v1: every layer
+``all_gather``s the full node-embedding matrix so any remote source row is
+addressable — O(N·d) interconnect bytes per device per layer regardless of
+how few rows actually cross the partition boundary. This module is the v2
+the v1 docstring promises: a host-side :class:`HaloPlan` enumerates, for
+every (owner → consumer) device pair, exactly which embedding rows the
+consumer's edges read from the owner's range, and the device-side exchange
+moves ONLY those rows with one ``all_to_all`` over the mesh axis —
+O(B·d) bytes where B is the per-pair boundary width.
+
+Combined with :func:`locality_relabel` (BFS relabeling so that range
+partitioning keeps neighborhoods on one device), the exchanged volume on
+clustered graphs drops by orders of magnitude vs the dense gather; on an
+adversarial random graph it degrades gracefully toward the all_gather
+volume (every row is somebody's boundary).
+
+Exactness: rows are copied verbatim and each dst's full in-edge set lives
+on its owner (same owner-computes property as the v1), so mean aggregation
+— count clamp, per-node averaged W_self, isolated-node zero, reference
+semantics ``/root/reference/graph_hypernetwork_forge/models/hypergnn.py:207-228``
+— is bitwise the single-device computation per node.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_hypernetwork_forge_tpu.parallel.node_partition import (
+    partition_edges_by_dst,
+)
+from graph_hypernetwork_forge_tpu.utils.initializers import resolve_precision
+from graph_hypernetwork_forge_tpu.utils.shapes import round_up_to_multiple
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Host-precomputed exchange plan for one graph + mesh size.
+
+    All arrays are shard-major over ``num_shards`` like
+    :func:`partition_edges_by_dst` output. ``src_halo`` indexes into each
+    consumer's concatenated ``[local rows (npp) ++ halo buffer (k·B)]``
+    matrix: local sources map to ``src - j·npp``; a source owned by device
+    ``i`` at send-slot ``b`` maps to ``npp + i·B + b``.
+    """
+
+    src_halo: np.ndarray    # [k * cap] int32, remapped per-consumer indices
+    dst: np.ndarray         # [k * cap] global dst ids (owner-local offsetable)
+    rel_ids: np.ndarray     # [k * cap]
+    edge_mask: np.ndarray   # [k * cap]
+    send_idx: np.ndarray    # [k, k, B] owner-local rows device i sends to j
+    nodes_per_shard: int
+    halo_width: int         # B (padded max boundary rows per device pair)
+    num_shards: int
+
+    @property
+    def edge_arrays(self) -> Tuple[np.ndarray, ...]:
+        return self.src_halo, self.dst, self.rel_ids, self.edge_mask
+
+
+def build_halo_plan(
+    src: np.ndarray,
+    dst: np.ndarray,
+    rel_ids: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+) -> HaloPlan:
+    """Partition edges by dst owner and enumerate boundary rows per pair."""
+    k = num_shards
+    src_p, dst_p, rel_p, mask_p, npp = partition_edges_by_dst(
+        src, dst, rel_ids, edge_mask, num_nodes, k
+    )
+    cap = src_p.shape[0] // k
+
+    # Pass 1: unique remote rows each consumer j needs from each owner i.
+    needed = {}
+    width = 0
+    for j in range(k):
+        sl = slice(j * cap, (j + 1) * cap)
+        s = np.asarray(src_p[sl], dtype=np.int64)
+        real = np.asarray(mask_p[sl]) > 0
+        owner = np.minimum(s // npp, k - 1)
+        for i in range(k):
+            if i == j:
+                continue
+            rows = np.unique(s[real & (owner == i)]) - i * npp
+            needed[(i, j)] = rows.astype(np.int64)
+            width = max(width, rows.size)
+    b = round_up_to_multiple(max(width, 1), 8)
+
+    # Pass 2: send tables + per-edge remapped source indices.
+    send_idx = np.zeros((k, k, b), dtype=np.int32)
+    src_halo = np.zeros(k * cap, dtype=np.int32)
+    for j in range(k):
+        sl = slice(j * cap, (j + 1) * cap)
+        s = np.asarray(src_p[sl], dtype=np.int64)
+        real = np.asarray(mask_p[sl]) > 0
+        owner = np.minimum(s // npp, k - 1)
+        out = np.zeros(cap, dtype=np.int32)
+        local = real & (owner == j)
+        out[local] = (s[local] - j * npp).astype(np.int32)
+        for i in range(k):
+            if i == j:
+                continue
+            rows = needed[(i, j)]
+            send_idx[i, j, : rows.size] = rows
+            sel = real & (owner == i)
+            pos = np.searchsorted(rows, s[sel] - i * npp)
+            out[sel] = (npp + i * b + pos).astype(np.int32)
+        src_halo[sl] = out
+
+    return HaloPlan(
+        src_halo=src_halo,
+        dst=dst_p,
+        rel_ids=rel_p,
+        edge_mask=mask_p,
+        send_idx=send_idx,
+        nodes_per_shard=npp,
+        halo_width=b,
+        num_shards=k,
+    )
+
+
+def halo_bytes_per_device(plan: HaloPlan, d: int, itemsize: int = 4) -> int:
+    """Interconnect bytes each device SENDS per exchange (excl. self-block)."""
+    return (plan.num_shards - 1) * plan.halo_width * d * itemsize
+
+
+def allgather_bytes_per_device(plan: HaloPlan, d: int, itemsize: int = 4) -> int:
+    """Bytes each device sends for the dense v1 full all_gather of h."""
+    return (plan.num_shards - 1) * plan.nodes_per_shard * d * itemsize
+
+
+def halo_message_passing(
+    mesh: Mesh,
+    h: jax.Array,
+    plan_arrays: Tuple[jax.Array, ...],
+    send_idx: jax.Array,
+    w_msg: jax.Array,
+    w_self: jax.Array,
+    bias: jax.Array,
+    nodes_per_shard: int,
+    halo_width: int,
+    *,
+    axis: str = "edge",
+    precision="highest",
+) -> jax.Array:
+    """Owner-computes message passing with an all_to_all boundary exchange.
+
+    Drop-in for
+    :func:`~graph_hypernetwork_forge_tpu.parallel.node_partition.node_partitioned_message_passing`
+    given a :class:`HaloPlan`: ``h [N_pad, d]`` node-range sharded over
+    ``axis``; ``plan_arrays = plan.edge_arrays`` (shard-major);
+    ``send_idx = plan.send_idx`` sharded over its leading (owner) axis.
+    Returns the pre-residual ``h'`` with the same sharding as ``h``.
+    """
+    prec = resolve_precision(precision)
+    npp, b = nodes_per_shard, halo_width
+    src_halo, dst, rel, mask = plan_arrays
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),                        # h: node-range sharded
+            P(axis), P(axis), P(axis), P(axis),   # edges by dst owner
+            P(axis, None, None),                  # send_idx by owner
+            P(), P(), P(),                        # weight banks replicated
+        ),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def _shard_fn(h_local, src_l, dst_l, rel_l, mask_l, send_l, wm, ws, bb):
+        k = send_l.shape[1]
+        my_idx = jax.lax.axis_index(axis)
+        # Boundary exchange: device i's send buffer row j holds the rows
+        # consumer j reads from i's range; all_to_all delivers, on device j,
+        # halo[i] = owner i's rows for j. One fused collective per layer,
+        # (k-1)·B·d elements on the wire instead of (k-1)·npp·d.
+        send_buf = h_local[send_l[0].reshape(-1)].reshape(k, b, -1)
+        halo = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0)
+        full = jnp.concatenate(
+            [h_local, halo.reshape(k * b, h_local.shape[1])], axis=0
+        )
+
+        # Same epilogue as the dense v1, over the compact [npp + k·B] buffer.
+        hw = jnp.einsum(
+            "nd,udo->uno", full, jnp.concatenate([wm, ws]), precision=prec
+        )
+        u = wm.shape[0]
+        dst_local = dst_l - my_idx * npp
+        msg = (hw[rel_l, src_l] + bb[rel_l]) * mask_l[:, None]
+        selfc = hw[rel_l + u, dst_local] * mask_l[:, None]
+
+        agg = jax.ops.segment_sum(msg, dst_local, num_segments=npp)
+        selft = jax.ops.segment_sum(selfc, dst_local, num_segments=npp)
+        cnt = jax.ops.segment_sum(mask_l, dst_local, num_segments=npp)
+        cnt = jnp.maximum(cnt, 1.0)[:, None]
+        return agg / cnt + selft / cnt
+
+    return _shard_fn(h, src_halo, dst, rel, mask, send_idx, w_msg, w_self, bias)
+
+
+def locality_relabel(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    iters: int = 10,
+) -> np.ndarray:
+    """Community-aware node relabeling so range partitioning cuts few edges.
+
+    Mode-based label propagation (each node repeatedly adopts the most
+    frequent label among its neighbors; ties break toward the smaller
+    label), fully vectorized in numpy, followed by ordering nodes by
+    ``(community label, old id)``. Returns ``perm`` with
+    ``perm[old_id] = new_id``; apply with ``src' = perm[src];
+    dst' = perm[dst]; feats' = feats[argsort(perm)]``. On clustered graphs
+    this shrinks the halo boundary by orders of magnitude; on structureless
+    graphs it is a harmless near-identity reshuffle.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    labels = np.arange(num_nodes, dtype=np.int64)
+
+    for _ in range(max(iters, 0)):
+        el = labels[v]
+        # Mode of neighbor labels per node: sort (node, label) pairs, count
+        # runs, keep each node's highest-count run (smallest label on ties).
+        order = np.lexsort((el, u))
+        uu, ll = u[order], el[order]
+        new_run = np.r_[True, (uu[1:] != uu[:-1]) | (ll[1:] != ll[:-1])]
+        run_u = uu[new_run]
+        run_l = ll[new_run]
+        counts = np.diff(np.r_[np.flatnonzero(new_run), uu.size])
+        pick = np.lexsort((run_l, -counts, run_u))
+        first = np.r_[True, run_u[pick][1:] != run_u[pick][:-1]]
+        winners = pick[first]
+        new_labels = labels.copy()
+        new_labels[run_u[winners]] = run_l[winners]
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+
+    order = np.lexsort((np.arange(num_nodes), labels))
+    perm = np.empty(num_nodes, dtype=np.int64)
+    perm[order] = np.arange(num_nodes)
+    return perm

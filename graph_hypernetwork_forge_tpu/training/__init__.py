@@ -3,6 +3,7 @@
 from graph_hypernetwork_forge_tpu.training.objectives import (
     link_prediction_loss,
     margin_ranking_loss,
+    multi_negative_loss,
 )
 from graph_hypernetwork_forge_tpu.training.train import (
     TrainState,
@@ -19,5 +20,6 @@ __all__ = [
     "make_multi_step",
     "make_train_step",
     "margin_ranking_loss",
+    "multi_negative_loss",
     "train",
 ]

@@ -46,6 +46,35 @@ def link_prediction_loss(
     return margin_ranking_loss(pos, neg, margin=margin, edge_mask=edge_mask)
 
 
+def multi_negative_loss(
+    embs: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    neg_dst: jax.Array,
+    margin: float = 1.0,
+    edge_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Margin-ranking loss averaged over K corrupted tails per positive.
+
+    ``neg_dst [B, K]`` holds K negative tail candidates per positive pair;
+    the per-pair loss is the mean hinge over its K negatives (the K=1
+    column case reduces exactly to :func:`link_prediction_loss`). More
+    negatives per positive sharpen the ranking gradient — the standard
+    KG-embedding recipe the reference's single-permutation scheme
+    (``demo.py:93``) is the K=1 special case of.
+    """
+    from graph_hypernetwork_forge_tpu.ops.scoring import score_candidate_sets
+
+    pos = score_triple(embs[src], embs[dst])  # [B]
+    neg = score_candidate_sets(embs, src, neg_dst)  # [B, K]
+    per_pair = jnp.mean(
+        jnp.clip(margin - pos[:, None] + neg, a_min=0.0), axis=1
+    )
+    if edge_mask is None:
+        return jnp.mean(per_pair)
+    return jnp.sum(per_pair * edge_mask) / jnp.maximum(jnp.sum(edge_mask), 1.0)
+
+
 def link_prediction_loss_sorted(
     embs: jax.Array,
     src: jax.Array,

@@ -29,6 +29,7 @@ from graph_hypernetwork_forge_tpu.models.hypergnn import (
 from graph_hypernetwork_forge_tpu.training.objectives import (
     link_prediction_loss,
     link_prediction_loss_sorted,
+    multi_negative_loss,
 )
 
 
@@ -52,6 +53,7 @@ def make_train_step(
     margin: float = 1.0,
     num_pos_samples: Optional[int] = None,
     neg_mode: str = "uniform",
+    num_negatives: int = 1,
 ) -> Callable:
     """Build a jitted ``(params, opt_state, node_features, graph arrays, rng)
     → (params, opt_state, loss)`` step.
@@ -72,12 +74,21 @@ def make_train_step(
     (``demo.py:93``) — and the whole loss lowers sort-free through the
     graph's :class:`SortPlan` (which must then be passed to the step).
     Requires full positives (``num_pos_samples=None``).
+
+    ``num_negatives``: K > 1 draws K uniform corrupted tails per positive
+    and averages the hinge over them (:func:`multi_negative_loss`) — the
+    standard ranking-sharpening recipe for zero-shot MRR. ``uniform`` mode
+    only.
     """
     if neg_mode not in ("uniform", "roll"):
         raise ValueError(f"unknown neg_mode: {neg_mode!r}")
     if neg_mode == "roll" and num_pos_samples is not None:
         raise ValueError("neg_mode='roll' scores all positives; it is "
                          "incompatible with num_pos_samples")
+    if num_negatives < 1:
+        raise ValueError(f"num_negatives must be >= 1, got {num_negatives}")
+    if num_negatives > 1 and neg_mode != "uniform":
+        raise ValueError("num_negatives > 1 requires neg_mode='uniform'")
 
     def loss_fn(params, node_features, src, dst, rel_ids, edge_mask, char_ids,
                 text_lengths, pos_src, pos_dst, pos_mask, neg_dst,
@@ -101,6 +112,11 @@ def make_train_step(
             return link_prediction_loss_sorted(
                 embs, pos_src, pos_dst, sort_plan, neg_dst,
                 margin=margin, edge_mask=pos_mask,
+            )
+        if num_negatives > 1:
+            return multi_negative_loss(
+                embs, pos_src, pos_dst, neg_dst, margin=margin,
+                edge_mask=pos_mask,
             )
         return link_prediction_loss(
             embs, pos_src, pos_dst, neg_dst, margin=margin, edge_mask=pos_mask
@@ -134,8 +150,12 @@ def make_train_step(
                 raise ValueError("neg_mode='roll' requires sort_plan")
             neg_dst = jax.random.randint(neg_rng, (), 1, pos_src.shape[0])
         elif neg_dst is None:
+            neg_shape = (
+                pos_src.shape if num_negatives == 1
+                else (pos_src.shape[0], num_negatives)
+            )
             neg_dst = jax.random.randint(
-                neg_rng, pos_src.shape, 0, node_features.shape[0],
+                neg_rng, neg_shape, 0, node_features.shape[0],
                 dtype=pos_src.dtype,
             )
         loss, grads = jax.value_and_grad(loss_fn)(

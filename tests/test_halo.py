@@ -1,0 +1,182 @@
+"""Boundary-minimized halo exchange (parallel/halo.py): exactness + volume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_hypernetwork_forge_tpu.ops.message_passing import (
+    relational_message_passing,
+)
+from graph_hypernetwork_forge_tpu.parallel.halo import (
+    allgather_bytes_per_device,
+    build_halo_plan,
+    halo_bytes_per_device,
+    halo_message_passing,
+    locality_relabel,
+)
+from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh
+
+needs_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _random_graph(rng, n, e, u):
+    src = rng.integers(0, n, size=e).astype(np.int64)
+    dst = rng.integers(0, n, size=e).astype(np.int64)
+    rel = rng.integers(0, u, size=e).astype(np.int32)
+    mask = np.ones(e, dtype=np.float32)
+    return src, dst, rel, mask
+
+
+def _clustered_graph(rng, clusters, cluster_size, intra, inter, u):
+    """Ring of clusters: mostly intra-cluster edges + a few ring edges,
+    with node ids SHUFFLED so range partitioning is bad until relabeled."""
+    n = clusters * cluster_size
+    src, dst = [], []
+    for c in range(clusters):
+        base = c * cluster_size
+        src.append(base + rng.integers(0, cluster_size, size=intra))
+        dst.append(base + rng.integers(0, cluster_size, size=intra))
+        nxt = ((c + 1) % clusters) * cluster_size
+        src.append(base + rng.integers(0, cluster_size, size=inter))
+        dst.append(nxt + rng.integers(0, cluster_size, size=inter))
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    shuffle = rng.permutation(n)
+    src, dst = shuffle[src], shuffle[dst]
+    rel = rng.integers(0, u, size=src.size).astype(np.int32)
+    mask = np.ones(src.size, dtype=np.float32)
+    return n, src, dst, rel, mask
+
+
+@needs_multidevice
+class TestHaloExactness:
+    @pytest.mark.parametrize("n,e", [(30, 120), (67, 400)])
+    def test_matches_single_device(self, n, e):
+        rng = np.random.default_rng(0)
+        u, d = 5, 8
+        k = 8
+        src, dst, rel, mask = _random_graph(rng, n, e, u)
+        h = rng.standard_normal((n, d)).astype(np.float32)
+        w_msg = 0.1 * rng.standard_normal((u, d, d)).astype(np.float32)
+        w_self = 0.1 * rng.standard_normal((u, d, d)).astype(np.float32)
+        bias = 0.1 * rng.standard_normal((u, d)).astype(np.float32)
+
+        want = relational_message_passing(
+            jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(rel), jnp.asarray(w_msg), jnp.asarray(w_self),
+            jnp.asarray(bias), backend="dense",
+        )
+
+        plan = build_halo_plan(src, dst, rel, mask, n, k)
+        n_pad = plan.nodes_per_shard * k
+        h_pad = np.zeros((n_pad, d), dtype=np.float32)
+        h_pad[:n] = h
+
+        mesh = make_mesh((k,), ("edge",))
+        got = halo_message_passing(
+            mesh,
+            jnp.asarray(h_pad),
+            tuple(jnp.asarray(a) for a in plan.edge_arrays),
+            jnp.asarray(plan.send_idx),
+            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+            plan.nodes_per_shard, plan.halo_width,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got)[:n], np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_isolated_nodes_zero(self):
+        rng = np.random.default_rng(1)
+        n, u, d, k = 24, 3, 8, 8
+        # Only nodes 0..3 receive edges; everything else is isolated.
+        src = rng.integers(0, n, size=20).astype(np.int64)
+        dst = rng.integers(0, 4, size=20).astype(np.int64)
+        rel = rng.integers(0, u, size=20).astype(np.int32)
+        mask = np.ones(20, dtype=np.float32)
+        h = rng.standard_normal((n, d)).astype(np.float32)
+        w_msg = rng.standard_normal((u, d, d)).astype(np.float32)
+        w_self = rng.standard_normal((u, d, d)).astype(np.float32)
+        bias = rng.standard_normal((u, d)).astype(np.float32)
+
+        plan = build_halo_plan(src, dst, rel, mask, n, k)
+        h_pad = np.zeros((plan.nodes_per_shard * k, d), dtype=np.float32)
+        h_pad[:n] = h
+        mesh = make_mesh((k,), ("edge",))
+        got = np.asarray(halo_message_passing(
+            mesh, jnp.asarray(h_pad),
+            tuple(jnp.asarray(a) for a in plan.edge_arrays),
+            jnp.asarray(plan.send_idx),
+            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+            plan.nodes_per_shard, plan.halo_width,
+        ))
+        # Reference quirk: isolated nodes are exactly zero pre-residual
+        # (models/hypergnn.py:207-228 count clamp ordering).
+        np.testing.assert_array_equal(got[4:n], 0.0)
+
+
+@needs_multidevice
+class TestHaloVolume:
+    def test_boundary_bytes_below_allgather_on_clustered_graph(self):
+        rng = np.random.default_rng(2)
+        n, src, dst, rel, mask = _clustered_graph(
+            rng, clusters=8, cluster_size=64, intra=400, inter=8, u=4
+        )
+        perm = locality_relabel(src, dst, n)
+        plan = build_halo_plan(perm[src], perm[dst], rel, mask, n, 8)
+        d = 16
+        halo_b = halo_bytes_per_device(plan, d)
+        dense_b = allgather_bytes_per_device(plan, d)
+        # Locality-aware layout: boundary rows ≪ all rows.
+        assert halo_b < dense_b / 2, (halo_b, dense_b)
+
+    def test_locality_relabel_reduces_boundary(self):
+        rng = np.random.default_rng(3)
+        n, src, dst, rel, mask = _clustered_graph(
+            rng, clusters=8, cluster_size=64, intra=400, inter=8, u=4
+        )
+        plan_raw = build_halo_plan(src, dst, rel, mask, n, 8)
+        perm = locality_relabel(src, dst, n)
+        plan_loc = build_halo_plan(perm[src], perm[dst], rel, mask, n, 8)
+        assert plan_loc.halo_width < plan_raw.halo_width, (
+            plan_loc.halo_width, plan_raw.halo_width
+        )
+
+    def test_relabel_is_permutation(self):
+        rng = np.random.default_rng(4)
+        src, dst, _, _ = _random_graph(rng, 40, 100, 3)
+        perm = locality_relabel(src, dst, 40)
+        assert sorted(perm.tolist()) == list(range(40))
+
+    def test_relabeled_graph_same_result(self):
+        """Relabeling + halo MP == original graph single-device, rows permuted."""
+        rng = np.random.default_rng(5)
+        n, e, u, d, k = 48, 200, 4, 8, 8
+        src, dst, rel, mask = _random_graph(rng, n, e, u)
+        h = rng.standard_normal((n, d)).astype(np.float32)
+        w_msg = 0.1 * rng.standard_normal((u, d, d)).astype(np.float32)
+        w_self = 0.1 * rng.standard_normal((u, d, d)).astype(np.float32)
+        bias = 0.1 * rng.standard_normal((u, d)).astype(np.float32)
+
+        want = np.asarray(relational_message_passing(
+            jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(rel), jnp.asarray(w_msg), jnp.asarray(w_self),
+            jnp.asarray(bias), backend="dense",
+        ))
+
+        perm = locality_relabel(src, dst, n)
+        inv = np.argsort(perm)
+        plan = build_halo_plan(perm[src], perm[dst], rel, mask, n, k)
+        h_pad = np.zeros((plan.nodes_per_shard * k, d), dtype=np.float32)
+        h_pad[:n] = h[inv]
+        mesh = make_mesh((k,), ("edge",))
+        got = np.asarray(halo_message_passing(
+            mesh, jnp.asarray(h_pad),
+            tuple(jnp.asarray(a) for a in plan.edge_arrays),
+            jnp.asarray(plan.send_idx),
+            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+            plan.nodes_per_shard, plan.halo_width,
+        ))
+        np.testing.assert_allclose(got[perm], want, atol=1e-5, rtol=1e-5)

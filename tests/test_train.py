@@ -73,3 +73,55 @@ class TestMultiStep:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
             )
+
+
+class TestMultiNegative:
+    def test_k1_equals_single_negative_loss(self):
+        from graph_hypernetwork_forge_tpu.training import (
+            link_prediction_loss,
+            multi_negative_loss,
+        )
+
+        rng = np.random.default_rng(1)
+        n, b, d = 12, 20, 8
+        embs = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        src = jnp.asarray(rng.integers(0, n, b))
+        dst = jnp.asarray(rng.integers(0, n, b))
+        neg = jnp.asarray(rng.integers(0, n, b))
+        want = link_prediction_loss(embs, src, dst, neg)
+        got = multi_negative_loss(embs, src, dst, neg[:, None])
+        np.testing.assert_allclose(float(got), float(want), atol=1e-6)
+
+    def test_train_step_k8_decreases_loss(self):
+        feats, graph = setup()
+        config = HyperGNNConfig(
+            text_dim=16, node_feat_dim=8, hidden_dim=16, num_layers=2
+        )
+        params = init_hypergnn(config, jax.random.PRNGKey(0))
+        optimizer = optax.adam(1e-2)
+        opt_state = optimizer.init(params)
+        step = make_train_step(config, optimizer, num_negatives=8)
+        feats_j = jnp.asarray(feats)
+        arrays = tuple(jnp.asarray(a) for a in graph.arrays)
+        rng = jax.random.PRNGKey(7)
+        losses = []
+        for _ in range(15):
+            rng, sr = jax.random.split(rng)
+            params, opt_state, loss = step(params, opt_state, feats_j, *arrays, sr)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] <= losses[0]
+
+    def test_invalid_num_negatives(self):
+        import pytest
+
+        config = HyperGNNConfig(
+            text_dim=16, node_feat_dim=8, hidden_dim=16, num_layers=1
+        )
+        optimizer = optax.adam(1e-3)
+        with pytest.raises(ValueError):
+            make_train_step(config, optimizer, num_negatives=0)
+        with pytest.raises(ValueError):
+            make_train_step(
+                config, optimizer, num_negatives=4, neg_mode="roll"
+            )
