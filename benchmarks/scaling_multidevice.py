@@ -44,7 +44,14 @@ from graph_hypernetwork_forge_tpu.parallel.composed import (
 )
 from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh
 
-N, E, U, D, L = 20_000, 200_000, 64, 64, 2
+# Sized for a CPU-device mesh: the point is parallel efficiency of the
+# PROGRAM (work division, no replicated compute growth), not absolute
+# edges/s. Override via env GHF_SCALE_N / GHF_SCALE_E for bigger runs.
+import os
+
+N = int(os.environ.get("GHF_SCALE_N", 4_000))
+E = int(os.environ.get("GHF_SCALE_E", 40_000))
+U, D, L = 32, 64, 2
 
 
 def build():

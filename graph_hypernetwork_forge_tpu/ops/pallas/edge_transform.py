@@ -305,3 +305,34 @@ def edge_contributions_pallas(h, src, dst, rel_ids, w_msg, w_self, bias,
         x_src, x_dst, rel_sorted, w_msg, w_self, bias, tile_e, interpret
     )
     return msg_s[inv], selfc_s[inv]
+
+
+def edge_contributions_pallas_sorted(
+    h, src, dst, rel_ids, w_msg, w_self, bias,
+    *, sort_plan=None, tile_e: int = DEFAULT_TILE_E, interpret: bool = False,
+):
+    """Relation-presorted fast path: no in-jit argsort/unsort.
+
+    Edges must already be stable-sorted by ``rel_ids``
+    (``encode_graph(sort_by_relation=True)``). With a
+    :class:`~graph_hypernetwork_forge_tpu.data.encoding.SortPlan`, the
+    ``h[src]`` / ``h[dst]`` gathers route their backward cotangents through
+    the plan's permutations (sorted-hint segment-sums), keeping the whole
+    layer sort-free end to end.
+    """
+    if sort_plan is not None:
+        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+
+        n = h.shape[0]
+        x_src = take_rows_sorted(
+            n, h, src, sort_plan.src_perm, sort_plan.src_sorted
+        )
+        x_dst = take_rows_sorted(
+            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted
+        )
+    else:
+        x_src = h[src]
+        x_dst = h[dst]
+    return edge_transform_sorted(
+        x_src, x_dst, rel_ids, w_msg, w_self, bias, tile_e, interpret
+    )

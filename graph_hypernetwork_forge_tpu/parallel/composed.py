@@ -61,7 +61,7 @@ class ComposedInputs:
     """Device-ready shard-major arrays for the composed step."""
 
     feats: np.ndarray       # [N_pad, F] node-range shardable
-    src: np.ndarray         # [k * cap] shard-major edges (dst-owned)
+    src: np.ndarray         # [k * cap] shard-major edges (dst-owned), GLOBAL ids
     dst: np.ndarray
     rel_ids: np.ndarray
     edge_mask: np.ndarray
@@ -69,17 +69,51 @@ class ComposedInputs:
     lengths: np.ndarray
     nodes_per_shard: int
     num_nodes: int          # true N (un-padded)
+    # Boundary-minimized halo exchange (parallel/halo.py); None = dense v1
+    # full-h all_gather per layer.
+    src_halo: Optional[np.ndarray] = None   # [k * cap] local++halo indices
+    send_idx: Optional[np.ndarray] = None   # [k, k, B]
+    halo_width: int = 0
 
 
 def prepare_composed_inputs(
-    graph: EncodedGraph, node_features, num_shards: int
+    graph: EncodedGraph, node_features, num_shards: int, *, halo: bool = False
 ) -> ComposedInputs:
-    """Partition a graph + features for :func:`make_composed_train_step`."""
+    """Partition a graph + features for :func:`make_composed_train_step`.
+
+    ``halo=True`` additionally builds a :class:`~graph_hypernetwork_forge_tpu.parallel.halo.HaloPlan`
+    so the per-layer exchange moves only boundary rows (one ``all_to_all``
+    of ``B`` rows per device pair) and — crucially — each device's dense
+    relation product runs over its ``npp + k·B`` local+halo rows instead of
+    the full gathered ``[N_pad, d]``: the per-layer compute actually
+    divides by the mesh size.
+    """
     feats = np.asarray(node_features, dtype=np.float32)
     n = graph.num_nodes
-    src, dst, rel, mask, npp = partition_edges_by_dst(
-        graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
-    )
+    src_halo = send_idx = None
+    halo_width = 0
+    if halo:
+        from graph_hypernetwork_forge_tpu.parallel.halo import build_halo_plan
+
+        plan = build_halo_plan(
+            graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
+        )
+        # build_halo_plan partitions with the same deterministic layout, so
+        # its edge arrays ARE the partitioned arrays.
+        _, dst, rel, mask = plan.edge_arrays
+        npp = plan.nodes_per_shard
+        src_halo = plan.src_halo
+        send_idx = plan.send_idx
+        halo_width = plan.halo_width
+        # Global src (for scoring) in the same shard-major layout.
+        src, dst, rel, mask, npp2 = partition_edges_by_dst(
+            graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
+        )
+        assert npp2 == npp
+    else:
+        src, dst, rel, mask, npp = partition_edges_by_dst(
+            graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
+        )
     n_pad = npp * num_shards
     if n_pad > feats.shape[0]:
         feats = np.pad(feats, ((0, n_pad - feats.shape[0]), (0, 0)))
@@ -100,6 +134,9 @@ def prepare_composed_inputs(
         lengths=lengths,
         nodes_per_shard=npp,
         num_nodes=n,
+        src_halo=src_halo,
+        send_idx=send_idx,
+        halo_width=halo_width,
     )
 
 
@@ -112,6 +149,7 @@ def make_composed_train_step(
     axis: str = "edge",
     margin: float = 1.0,
     num_nodes: Optional[int] = None,
+    halo_width: Optional[int] = None,
 ):
     """Jitted fully-sharded train step (fwd + bwd + Adam) on one mesh axis.
 
@@ -121,18 +159,29 @@ def make_composed_train_step(
     relation axis are sharded over ``axis``. ``config.dropout`` is honored
     with per-device row dropout (independent rows per shard — a valid
     dropout draw, though not bit-identical to any single-device draw).
+
+    ``halo_width``: build the step for the boundary-minimized exchange
+    (``prepare_composed_inputs(halo=True)``). The step then takes two extra
+    arrays (``src_halo``, ``send_idx``) after ``lens``; each layer moves
+    only ``(k-1)·B`` boundary rows per device (one ``all_to_all``) and the
+    dense relation product runs over ``npp + k·B`` rows — per-layer compute
+    AND communication divide by the mesh size, instead of the dense v1's
+    replicated full-``h`` product.
     """
     import optax
 
     prec = resolve_precision(config.precision)
+    use_halo = halo_width is not None
 
     def forward_local(params, feats_l, src_l, dst_l, rel_l, mask_l,
-                      chars_l, lens_l, drop_rng):
+                      chars_l, lens_l, send_l, drop_rng):
         """Per-device forward over the local node/edge/relation shards.
 
         Runs INSIDE shard_map: ``feats_l [npp, F]``, edge arrays are the
         local dst-owned slice, ``chars_l/lens_l`` the local relation slice.
-        Returns the local rows of the final embeddings ``[npp, H]``.
+        In halo mode ``src_l`` holds local++halo indices and ``send_l`` the
+        ``[1, k, B]`` send table. Returns the local rows of the final
+        embeddings ``[npp, H]``.
         """
         use_dropout = drop_rng is not None and config.dropout > 0.0
         my_idx = jax.lax.axis_index(axis)
@@ -146,6 +195,7 @@ def make_composed_train_step(
         )
 
         rng_layer = drop_rng
+        local_dst = dst_l - my_idx * nodes_per_shard
         for layer_idx in range(config.num_layers):
             gen_rng = drop_key = None
             if use_dropout:
@@ -165,18 +215,34 @@ def make_composed_train_step(
                 kk: jax.lax.all_gather(v, axis, tiled=True)
                 for kk, v in local_w.items()
             }
-            # Halo (dense-boundary v1): assemble full h so any remote src
-            # row is addressable; aggregation itself stays owner-local.
-            h_full = jax.lax.all_gather(h_local, axis, tiled=True)
+            if use_halo:
+                # Boundary-minimized exchange (parallel/halo.py): move only
+                # the rows some consumer's edges actually read.
+                k = send_l.shape[1]
+                send_buf = h_local[send_l[0].reshape(-1)].reshape(
+                    k, halo_width, h_local.shape[1]
+                )
+                halo = jax.lax.all_to_all(
+                    send_buf, axis, split_axis=0, concat_axis=0
+                )
+                rows = jnp.concatenate(
+                    [h_local, halo.reshape(k * halo_width, h_local.shape[1])]
+                )
+                src_rows = src_l  # pre-remapped into [local ++ halo]
+            else:
+                # Dense-boundary v1: assemble full h so any remote src row
+                # is addressable (replicates the relation product below).
+                rows = jax.lax.all_gather(h_local, axis, tiled=True)
+                src_rows = src_l
             hw = jnp.einsum(
-                "nd,udo->uno", h_full,
+                "nd,udo->uno", rows,
                 jnp.concatenate([w["W_msg"], w["W_self"]]),
                 precision=prec,
             )
             u = w["W_msg"].shape[0]
-            msg = (hw[rel_l, src_l] + w["bias"][rel_l]) * mask_l[:, None]
-            selfc = hw[rel_l + u, dst_l] * mask_l[:, None]
-            local_dst = dst_l - my_idx * nodes_per_shard
+            msg = (hw[rel_l, src_rows] + w["bias"][rel_l]) * mask_l[:, None]
+            self_rows = local_dst if use_halo else dst_l
+            selfc = hw[rel_l + u, self_rows] * mask_l[:, None]
             agg = jax.ops.segment_sum(msg, local_dst, num_segments=nodes_per_shard)
             selft = jax.ops.segment_sum(
                 selfc, local_dst, num_segments=nodes_per_shard
@@ -205,6 +271,8 @@ def make_composed_train_step(
             P(axis, None),  # feats: node-range sharded
             P(axis), P(axis), P(axis), P(axis),  # edges: dst-owner sharded
             P(axis, None), P(axis),              # relations sharded
+            P(axis),        # src for layers (global or local++halo remapped)
+            P(axis, None, None),                 # send_idx by owner (halo)
             P(axis),        # neg_dst: edge-sharded
             P(),            # dropout rng (replicated; folded per device)
         ),
@@ -212,10 +280,10 @@ def make_composed_train_step(
         check_vma=False,
     )
     def _loss_shard(params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l,
-                    lens_l, neg_l, drop_rng):
+                    lens_l, src_layers_l, send_l, neg_l, drop_rng):
         h_local = forward_local(
-            params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l, lens_l,
-            drop_rng,
+            params, feats_l, src_layers_l, dst_l, rel_l, mask_l, chars_l,
+            lens_l, send_l, drop_rng,
         )
         # Scoring needs arbitrary rows: assemble the full embeddings once.
         embs = jax.lax.all_gather(h_local, axis, tiled=True)
@@ -229,10 +297,22 @@ def make_composed_train_step(
         return num / jnp.maximum(den, 1.0)
 
     @jax.jit
-    def step(params, opt_state, feats, src, dst, rel, mask, chars, lens, rng):
+    def step(params, opt_state, feats, src, dst, rel, mask, chars, lens,
+             rng, src_halo=None, send_idx=None):
         neg_rng, drop_rng = jax.random.split(rng)
         if config.dropout <= 0.0:
             drop_rng = None
+        if use_halo:
+            if src_halo is None or send_idx is None:
+                raise ValueError(
+                    "halo_width set: step needs src_halo and send_idx "
+                    "(prepare_composed_inputs(halo=True))"
+                )
+            src_layers = src_halo
+        else:
+            src_layers = src
+            k = mesh.shape[axis]
+            send_idx = jnp.zeros((k, k, 1), dtype=jnp.int32)  # inert
         neg_dst = jax.random.randint(
             neg_rng, src.shape, 0,
             feats.shape[0] if num_nodes is None else num_nodes,
@@ -241,7 +321,8 @@ def make_composed_train_step(
 
         def loss_fn(p):
             return _loss_shard(
-                p, feats, src, dst, rel, mask, chars, lens, neg_dst, drop_rng
+                p, feats, src, dst, rel, mask, chars, lens, src_layers,
+                send_idx, neg_dst, drop_rng
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

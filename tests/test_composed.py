@@ -159,3 +159,80 @@ def test_composed_dropout_runs():
     _, _, lb = step(params, optimizer.init(params), *arrays, jax.random.PRNGKey(2))
     assert np.isfinite(float(la)) and np.isfinite(float(lb))
     assert float(la) != float(lb)  # dropout + negatives actually random
+
+
+def test_composed_halo_step_matches_dense_v1():
+    """Halo-mode step (all_to_all boundary rows) == dense-v1 step exactly."""
+    graph, feats, config, params = _setup(seed=7)
+    k = 4
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    dense_in = prepare_composed_inputs(graph, feats, k)
+    halo_in = prepare_composed_inputs(graph, feats, k, halo=True)
+    assert halo_in.src_halo is not None and halo_in.send_idx is not None
+    # Same partitioned layout in both modes.
+    np.testing.assert_array_equal(dense_in.dst, halo_in.dst)
+    np.testing.assert_array_equal(dense_in.src, halo_in.src)
+
+    optimizer = optax.adam(1e-2)
+    rng = jax.random.PRNGKey(21)
+
+    def run(inputs, halo_width):
+        step = make_composed_train_step(
+            mesh, config, optimizer, inputs.nodes_per_shard,
+            num_nodes=inputs.num_nodes, halo_width=halo_width,
+        )
+        arrays = tuple(
+            jnp.asarray(a) for a in (
+                inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+                inputs.edge_mask, inputs.char_ids, inputs.lengths,
+            )
+        )
+        kwargs = {}
+        if halo_width is not None:
+            kwargs = dict(
+                src_halo=jnp.asarray(inputs.src_halo),
+                send_idx=jnp.asarray(inputs.send_idx),
+            )
+        return step(
+            params, optimizer.init(params), *arrays, rng, **kwargs
+        )
+
+    p_dense, _, l_dense = run(dense_in, None)
+    p_halo, _, l_halo = run(halo_in, halo_in.halo_width)
+    np.testing.assert_allclose(float(l_halo), float(l_dense), atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_halo), jax.tree_util.tree_leaves(p_dense)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
+
+def test_composed_halo_training_decreases_loss():
+    graph, feats, config, params = _setup(seed=8)
+    k = 8
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    inputs = prepare_composed_inputs(graph, feats, k, halo=True)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_composed_train_step(
+        mesh, config, optimizer, inputs.nodes_per_shard,
+        num_nodes=inputs.num_nodes, halo_width=inputs.halo_width,
+    )
+    arrays = tuple(
+        jnp.asarray(a) for a in (
+            inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+            inputs.edge_mask, inputs.char_ids, inputs.lengths,
+        )
+    )
+    src_halo = jnp.asarray(inputs.src_halo)
+    send_idx = jnp.asarray(inputs.send_idx)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(10):
+        rng, sr = jax.random.split(rng)
+        params, opt_state, loss = step(
+            params, opt_state, *arrays, sr, src_halo=src_halo,
+            send_idx=send_idx,
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] <= losses[0]
