@@ -3,22 +3,46 @@
 
 Runs the fully-composed SPMD train step (relation sharding + node-partitioned
 message passing + grads + Adam, ``parallel/composed.py``) on a virtual CPU
-mesh (the multi-chip dry-run harness — no TPU pod needed) and reports
-edges/s, parallel efficiency vs 1 device, and the per-step collective bytes
-each device moves over the interconnect (the dense-boundary halo all_gather
-+ relation-bank all_gathers + gradient reduction).
+mesh in BOTH variants:
 
-North star (BASELINE.md): ≥80% scaling efficiency 1 → 4 devices. On a CPU
-mesh the collectives are memcpy-speed, so the efficiency numbers here
-validate the *program structure* (work division, no replicated compute
-growth); absolute edges/s is not a TPU number.
+- ``halo`` (the default path): boundary-minimized ``all_to_all`` exchange per
+  layer + fully-local scoring (``neg_mode="local_roll"``) — per-device
+  compute and wire bytes divide by the mesh size;
+- ``dense`` (the v1 fallback): full-``h`` ``all_gather`` per layer +
+  full-embedding gather for scoring — per-device compute does NOT divide
+  (the relation product is replicated), kept here as the contrast.
 
-Prints one JSON line per mesh size.
+Metrics per mesh size:
+
+- ``flops_per_device``: XLA's compiled per-device FLOP count
+  (``compiled.cost_analysis()``) — the *structural* scaling metric. North
+  star (BASELINE.md): ≥80% parallel efficiency at 4 devices, i.e.
+  ``flops(1dev) / (k · flops_per_device(k)) ≥ 0.8``. This is what real
+  multi-chip wall-clock follows when collectives ride ICI.
+- ``fwd_bwd_edges_per_s`` wall-clock on THIS host — honest but bounded by
+  the host's physical core count (virtual CPU devices share cores: on a
+  2-core container, >2x wall speedup is physically impossible at any
+  efficiency, and the absolute numbers are CPU numbers, not TPU numbers).
+- ``collective_mib_per_dev``: wire bytes each device sends per step
+  (halo: B boundary rows per pair per layer + relation banks + grad psum;
+  dense: full node-embedding all_gathers), from the HaloPlan volume
+  helpers — the halo-vs-dense bytes column.
+
+The graph is clustered (communities with a small cross-community edge
+fraction) and relabeled with ``locality_relabel`` so range partitioning
+keeps neighborhoods on one device — the regime edge-partitioned GNN
+training targets (SURVEY.md §5.7).
+
+Prints one JSON line per (variant, mesh size); a ``summary`` line reports
+the 4-device efficiencies. ``tests/test_composed.py::
+test_halo_step_per_device_flops_shrink_with_mesh`` guards the structural
+metric in CI.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -42,40 +66,66 @@ from graph_hypernetwork_forge_tpu.parallel.composed import (
     make_composed_train_step,
     prepare_composed_inputs,
 )
+from graph_hypernetwork_forge_tpu.parallel.halo import (
+    allgather_bytes_per_device,
+    build_halo_plan,
+    halo_bytes_per_device,
+    locality_relabel,
+)
 from graph_hypernetwork_forge_tpu.parallel.mesh import make_mesh
 
-# Sized for a CPU-device mesh: the point is parallel efficiency of the
-# PROGRAM (work division, no replicated compute growth), not absolute
-# edges/s. Override via env GHF_SCALE_N / GHF_SCALE_E for bigger runs.
-import os
-
-N = int(os.environ.get("GHF_SCALE_N", 4_000))
-E = int(os.environ.get("GHF_SCALE_E", 40_000))
+N = int(os.environ.get("GHF_SCALE_N", 8_192))
+E = int(os.environ.get("GHF_SCALE_E", 65_536))
 U, D, L = 32, 64, 2
+COMMUNITIES = 64
+CROSS_FRACTION = 0.02  # fraction of edges crossing community boundaries
 
 
 def build():
+    """Clustered KG + locality relabeling (the edge-partitioning regime)."""
     rng = np.random.default_rng(0)
-    ei = np.stack([rng.integers(0, N, E), rng.integers(0, N, E)])
+    csize = N // COMMUNITIES
+    comm = rng.integers(0, COMMUNITIES, E)
+    src = comm * csize + rng.integers(0, csize, E)
+    cross = rng.random(E) < CROSS_FRACTION
+    dst_comm = np.where(cross, rng.integers(0, COMMUNITIES, E), comm)
+    dst = dst_comm * csize + rng.integers(0, csize, E)
+    perm = locality_relabel(src, dst, N)
+    src, dst = perm[src], perm[dst]
     texts = [f"relation type number {i} with descriptive text" for i in range(U)]
     etexts = [texts[i] for i in rng.integers(0, U, E)]
-    graph = encode_graph(ei, etexts, N)
+    graph = encode_graph(np.stack([src, dst]), etexts, N)
     feats = rng.standard_normal((N, D)).astype(np.float32)
     return graph, feats
 
 
-def collective_bytes_per_step(k: int, n_pad: int, u_pad: int) -> int:
-    """Bytes each device sends per step over the mesh axis (f32).
+def wire_bytes_per_step(inputs, k: int, u_pad: int, n_params: int, halo: bool) -> int:
+    """Bytes each device SENDS per train step over the mesh axis (f32).
 
-    Per layer: halo all_gather of h (send local (n_pad/k)·D rows), relation
-    bank all_gather (send (u_pad/k)·(2·D·D + D)); final embedding
-    all_gather for scoring; backward transposes each all_gather into a
-    reduce-scatter of the same volume (×2); plus the gradient psum
-    (~param count, ~2× for ring all-reduce).
+    Forward: L node-embedding exchanges (halo: (k-1)·B·D rows via
+    all_to_all; dense: (k-1)·npp·D rows via all_gather) + L relation-bank
+    all_gathers of (u_pad/k)·(2·D·D + D) + the scoring exchange (halo: one
+    more B-row all_to_all; dense: a full (k-1)·npp·D all_gather).
+    Backward: each collective transposes to one of the same volume (×2
+    total). Plus the parameter-gradient psum (~2·params for a ring).
     """
-    per_layer = (n_pad // k) * D * 4 + (u_pad // k) * (2 * D * D + D) * 4
-    fwd = L * per_layer + (n_pad // k) * D * 4
-    return fwd * 3  # fwd all_gathers + bwd reduce-scatter transposes (≈2×)
+    if k == 1:
+        return 0
+    if halo:
+        node_ex = (k - 1) * inputs.halo_width * D * 4
+    else:
+        node_ex = (k - 1) * inputs.nodes_per_shard * D * 4
+    bank_ex = (k - 1) * (u_pad // k) * (2 * D * D + D) * 4
+    fwd = (L + 1) * node_ex + L * bank_ex
+    return fwd * 2 + 2 * n_params * 4
+
+
+def per_device_flops(step, params, opt_state, arrays, rng, kwargs) -> float:
+    compiled = step.lower(params, opt_state, *arrays, rng, **kwargs).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost["flops"])
 
 
 def main():
@@ -84,51 +134,105 @@ def main():
         text_dim=64, node_feat_dim=D, hidden_dim=D, num_layers=L
     )
     base_params = init_hypergnn(config, jax.random.PRNGKey(0))
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(base_params))
     optimizer = optax.adam(1e-3)
+    host_cores = os.cpu_count()
 
-    base_eps = None
-    for k in (1, 2, 4, 8):
-        mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
-        inputs = prepare_composed_inputs(graph, feats, k)
-        step = make_composed_train_step(
-            mesh, config, optimizer, inputs.nodes_per_shard,
-            num_nodes=inputs.num_nodes,
-        )
-        arrays = tuple(
-            jnp.asarray(a) for a in (
-                inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
-                inputs.edge_mask, inputs.char_ids, inputs.lengths,
+    results = {}
+    for halo in (False, True):
+        variant = "halo" if halo else "dense"
+        base_eps = base_flops = None
+        for k in (1, 2, 4, 8):
+            mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+            inputs = prepare_composed_inputs(graph, feats, k, halo=halo)
+            step = make_composed_train_step(
+                mesh, config, optimizer, inputs.nodes_per_shard,
+                num_nodes=inputs.num_nodes,
+                halo_width=inputs.halo_width if halo else None,
             )
-        )
-        params = jax.tree_util.tree_map(jnp.asarray, base_params)
-        opt_state = optimizer.init(params)
-        rng = jax.random.PRNGKey(1)
-        params, opt_state, loss = step(params, opt_state, *arrays, rng)
-        float(loss)  # sync
-        reps = 5
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            rng, sr = jax.random.split(rng)
-            params, opt_state, loss = step(params, opt_state, *arrays, sr)
-            float(loss)
-        dt = time.perf_counter() - t0
-        eps = reps * E / dt
-        if base_eps is None:
-            base_eps = eps
-        print(json.dumps({
-            "devices": k,
-            "edges": E,
-            "nodes": N,
-            "fwd_bwd_edges_per_s": round(eps, 1),
-            "step_ms": round(1e3 * dt / reps, 2),
-            "efficiency_vs_1dev": round(eps / (base_eps * k), 3),
-            "collective_mib_per_dev_per_step": round(
-                collective_bytes_per_step(
-                    k, inputs.feats.shape[0], inputs.char_ids.shape[0]
-                ) / 2**20, 2,
-            ) if k > 1 else 0.0,
-            "loss": round(float(loss), 4),
-        }))
+            arrays = tuple(
+                jnp.asarray(a) for a in (
+                    inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+                    inputs.edge_mask, inputs.char_ids, inputs.lengths,
+                )
+            )
+            kwargs = {}
+            if halo:
+                kwargs = dict(
+                    src_halo=jnp.asarray(inputs.src_halo),
+                    send_idx=jnp.asarray(inputs.send_idx),
+                )
+            params = jax.tree_util.tree_map(jnp.asarray, base_params)
+            opt_state = optimizer.init(params)
+            rng = jax.random.PRNGKey(1)
+            flops = per_device_flops(
+                step, params, opt_state, arrays, rng, kwargs
+            )
+            params, opt_state, loss = step(
+                params, opt_state, *arrays, rng, **kwargs
+            )
+            float(loss)  # sync
+            reps = 5
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                rng, sr = jax.random.split(rng)
+                params, opt_state, loss = step(
+                    params, opt_state, *arrays, sr, **kwargs
+                )
+                float(loss)
+            dt = time.perf_counter() - t0
+            eps = reps * E / dt
+            if base_eps is None:
+                base_eps, base_flops = eps, flops
+            row = {
+                "variant": variant,
+                "devices": k,
+                "edges": E,
+                "nodes": N,
+                "halo_width": inputs.halo_width if halo else None,
+                "flops_per_device": flops,
+                "flop_efficiency_vs_1dev": round(base_flops / (k * flops), 3),
+                "fwd_bwd_edges_per_s": round(eps, 1),
+                "step_ms": round(1e3 * dt / reps, 2),
+                "wall_efficiency_vs_1dev": round(eps / (base_eps * k), 3),
+                "collective_mib_per_dev_per_step": round(
+                    wire_bytes_per_step(
+                        inputs, k, inputs.char_ids.shape[0], n_params, halo
+                    ) / 2**20, 2,
+                ),
+                "host_cores": host_cores,
+                "loss": round(float(loss), 4),
+            }
+            results[(variant, k)] = row
+            print(json.dumps(row))
+
+    plan = build_halo_plan(
+        graph.src, graph.dst, graph.rel_ids, graph.edge_mask, N, 4
+    )
+    summary = {
+        "summary": True,
+        "north_star": "flop_efficiency_vs_1dev >= 0.8 at 4 devices (halo)",
+        "halo_flop_efficiency_4dev": results[("halo", 4)][
+            "flop_efficiency_vs_1dev"
+        ],
+        "dense_flop_efficiency_4dev": results[("dense", 4)][
+            "flop_efficiency_vs_1dev"
+        ],
+        "halo_flop_efficiency_8dev": results[("halo", 8)][
+            "flop_efficiency_vs_1dev"
+        ],
+        "exchange_bytes_halo_vs_dense_4dev": round(
+            halo_bytes_per_device(plan, D)
+            / allgather_bytes_per_device(plan, D), 4,
+        ),
+        "host_cores": host_cores,
+        "note": (
+            "wall-clock on a virtual CPU mesh is bounded by host cores "
+            f"({host_cores} here); flops_per_device is the structural "
+            "scaling metric real multi-chip hardware follows"
+        ),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -14,11 +14,18 @@ single-op modules build toward (SURVEY.md §7.2.5-6):
   slice of every layer's ``[U, d, d]`` weight banks, assembled with one
   tiled ``all_gather`` per layer (``parallel/relation_sharding.py``
   semantics, inlined here so the whole step is one program);
-- the **halo** is the v1 dense-boundary exchange: one tiled ``all_gather``
-  of the node embeddings per layer (``parallel/halo.py`` provides the
-  boundary-minimized ``ppermute`` variant);
+- the **halo** (default) is the boundary-minimized exchange from
+  ``parallel/halo.py``: each layer moves only the B boundary rows per
+  device pair with one ``all_to_all``, and every per-device tensor op runs
+  over ``npp + k·B`` local+halo rows — per-layer compute AND communication
+  divide by the mesh size. The dense-boundary v1 (one tiled ``all_gather``
+  of the full node embeddings per layer, replicated relation product) is
+  kept as the ``halo=False`` fallback and exactness oracle;
 - the **loss** is the reference margin-ranking objective over the local
-  edge shard, reduced with ``psum``; gradients of the replicated parameters
+  edge shard, reduced with ``psum``; in halo mode scoring is fully local
+  too (``neg_mode="local_roll"``: one more B-row boundary exchange for the
+  positive heads, per-shard rotated tails as negatives) so nothing O(N)
+  crosses the wire per step; gradients of the replicated parameters
   emerge from the ``shard_map`` transpose (collectives transpose to
   collectives), and the optimizer update runs replicated.
 
@@ -77,16 +84,18 @@ class ComposedInputs:
 
 
 def prepare_composed_inputs(
-    graph: EncodedGraph, node_features, num_shards: int, *, halo: bool = False
+    graph: EncodedGraph, node_features, num_shards: int, *, halo: bool = True
 ) -> ComposedInputs:
     """Partition a graph + features for :func:`make_composed_train_step`.
 
-    ``halo=True`` additionally builds a :class:`~graph_hypernetwork_forge_tpu.parallel.halo.HaloPlan`
+    ``halo=True`` (the default) additionally builds a
+    :class:`~graph_hypernetwork_forge_tpu.parallel.halo.HaloPlan`
     so the per-layer exchange moves only boundary rows (one ``all_to_all``
     of ``B`` rows per device pair) and — crucially — each device's dense
     relation product runs over its ``npp + k·B`` local+halo rows instead of
     the full gathered ``[N_pad, d]``: the per-layer compute actually
-    divides by the mesh size.
+    divides by the mesh size. ``halo=False`` keeps the dense-boundary v1
+    (full-``h`` all_gather per layer, replicated relation product).
     """
     feats = np.asarray(node_features, dtype=np.float32)
     n = graph.num_nodes
@@ -98,18 +107,14 @@ def prepare_composed_inputs(
         plan = build_halo_plan(
             graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
         )
-        # build_halo_plan partitions with the same deterministic layout, so
-        # its edge arrays ARE the partitioned arrays.
+        # build_halo_plan partitions once; its edge arrays (including the
+        # partitioned global src it carries) ARE the partitioned arrays.
         _, dst, rel, mask = plan.edge_arrays
+        src = plan.src_global
         npp = plan.nodes_per_shard
         src_halo = plan.src_halo
         send_idx = plan.send_idx
         halo_width = plan.halo_width
-        # Global src (for scoring) in the same shard-major layout.
-        src, dst, rel, mask, npp2 = partition_edges_by_dst(
-            graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
-        )
-        assert npp2 == npp
     else:
         src, dst, rel, mask, npp = partition_edges_by_dst(
             graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
@@ -150,6 +155,7 @@ def make_composed_train_step(
     margin: float = 1.0,
     num_nodes: Optional[int] = None,
     halo_width: Optional[int] = None,
+    neg_mode: Optional[str] = None,
 ):
     """Jitted fully-sharded train step (fwd + bwd + Adam) on one mesh axis.
 
@@ -167,11 +173,36 @@ def make_composed_train_step(
     dense relation product runs over ``npp + k·B`` rows — per-layer compute
     AND communication divide by the mesh size, instead of the dense v1's
     replicated full-``h`` product.
+
+    ``neg_mode`` controls negative sampling AND the scoring data flow:
+
+    - ``"local_roll"`` (default in halo mode): scoring is FULLY LOCAL —
+      positive heads come from the final-layer boundary exchange (one more
+      B-row ``all_to_all``, reusing the halo plan), tails are owner-local,
+      and negatives are a random rotation of each shard's own positive
+      tails (the union over shards is a permutation of all dst — the same
+      corrupted-tail family as the reference's host-side ``randperm`` at
+      ``demo.py:93``, though block-rotational rather than uniform over all
+      E! permutations). Nothing scales with N on the wire: the per-step
+      full-embedding ``all_gather`` is gone.
+    - ``"uniform_global"`` (default in dense mode): negatives are uniform
+      random nodes; scoring assembles the full embedding matrix with one
+      ``all_gather`` (O(N·d) wire bytes per device per step — fine on a
+      handful of chips, the scaling bottleneck beyond that).
     """
     import optax
 
     prec = resolve_precision(config.precision)
     use_halo = halo_width is not None
+    if neg_mode is None:
+        neg_mode = "local_roll" if use_halo else "uniform_global"
+    if neg_mode not in ("local_roll", "uniform_global"):
+        raise ValueError(f"unknown neg_mode: {neg_mode!r}")
+    if neg_mode == "local_roll" and not use_halo:
+        raise ValueError(
+            "neg_mode='local_roll' requires halo mode (halo_width set): "
+            "local scoring reuses the halo plan's boundary exchange"
+        )
 
     def forward_local(params, feats_l, src_l, dst_l, rel_l, mask_l,
                       chars_l, lens_l, send_l, drop_rng):
@@ -279,8 +310,9 @@ def make_composed_train_step(
         out_specs=P(),
         check_vma=False,
     )
-    def _loss_shard(params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l,
-                    lens_l, src_layers_l, send_l, neg_l, drop_rng):
+    def _loss_shard_global(params, feats_l, src_l, dst_l, rel_l, mask_l,
+                           chars_l, lens_l, src_layers_l, send_l, neg_l,
+                           drop_rng):
         h_local = forward_local(
             params, feats_l, src_layers_l, dst_l, rel_l, mask_l, chars_l,
             lens_l, send_l, drop_rng,
@@ -289,9 +321,62 @@ def make_composed_train_step(
         embs = jax.lax.all_gather(h_local, axis, tiled=True)
         pos = jnp.sum(embs[src_l] * embs[dst_l], axis=-1)
         neg = jnp.sum(embs[src_l] * embs[neg_l], axis=-1)
-        per_edge = jnp.clip(margin - pos + neg, a_min=0.0) * mask_l
+        per_edge = jnp.maximum(margin - pos + neg, 0.0) * mask_l
         # Mask-weighted mean across ALL shards (== reference plain mean
         # over real edges, demo.py:96).
+        num = jax.lax.psum(jnp.sum(per_edge), axis)
+        den = jax.lax.psum(jnp.sum(mask_l), axis)
+        return num / jnp.maximum(den, 1.0)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),            # params (replicated)
+            P(axis, None),  # feats: node-range sharded
+            P(axis), P(axis), P(axis), P(axis),  # edges (src = local++halo)
+            P(axis, None), P(axis),              # relations sharded
+            P(axis, None, None),                 # send_idx by owner
+            P(),            # negative rng (replicated; folded per device)
+            P(),            # dropout rng (replicated; folded per device)
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _loss_shard_local(params, feats_l, srch_l, dst_l, rel_l, mask_l,
+                          chars_l, lens_l, send_l, neg_rng, drop_rng):
+        h_local = forward_local(
+            params, feats_l, srch_l, dst_l, rel_l, mask_l, chars_l,
+            lens_l, send_l, drop_rng,
+        )
+        my_idx = jax.lax.axis_index(axis)
+        k = send_l.shape[1]
+        # One more B-row boundary exchange so positive HEADS (arbitrary src
+        # rows of local edges) are addressable — same plan, same volume as
+        # a layer exchange; nothing O(N) crosses the wire.
+        send_buf = h_local[send_l[0].reshape(-1)].reshape(
+            k, halo_width, h_local.shape[1]
+        )
+        halo = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0)
+        rows = jnp.concatenate(
+            [h_local, halo.reshape(k * halo_width, h_local.shape[1])]
+        )
+        head = rows[srch_l]                              # [cap, d]
+        local_dst = dst_l - my_idx * nodes_per_shard
+        tail = h_local[local_dst]                        # [cap, d] owner rows
+        # Negatives: random rotation of this shard's own positive tails —
+        # a permutation of dst within the shard (corrupted-tail family of
+        # reference demo.py:93; block-rotational, not uniform over all
+        # permutations). Fold the step rng per device so shards rotate
+        # independently.
+        cap = dst_l.shape[0]
+        shift = jax.random.randint(
+            jax.random.fold_in(neg_rng, my_idx), (), 1, max(cap, 2)
+        )
+        neg_tail = jnp.roll(tail, -shift, axis=0)
+        pos = jnp.sum(head * tail, axis=-1)
+        neg = jnp.sum(head * neg_tail, axis=-1)
+        per_edge = jnp.maximum(margin - pos + neg, 0.0) * mask_l
         num = jax.lax.psum(jnp.sum(per_edge), axis)
         den = jax.lax.psum(jnp.sum(mask_l), axis)
         return num / jnp.maximum(den, 1.0)
@@ -313,17 +398,25 @@ def make_composed_train_step(
             src_layers = src
             k = mesh.shape[axis]
             send_idx = jnp.zeros((k, k, 1), dtype=jnp.int32)  # inert
-        neg_dst = jax.random.randint(
-            neg_rng, src.shape, 0,
-            feats.shape[0] if num_nodes is None else num_nodes,
-            dtype=src.dtype,
-        )
 
-        def loss_fn(p):
-            return _loss_shard(
-                p, feats, src, dst, rel, mask, chars, lens, src_layers,
-                send_idx, neg_dst, drop_rng
+        if neg_mode == "local_roll":
+            def loss_fn(p):
+                return _loss_shard_local(
+                    p, feats, src_halo, dst, rel, mask, chars, lens,
+                    send_idx, neg_rng, drop_rng
+                )
+        else:
+            neg_dst = jax.random.randint(
+                neg_rng, src.shape, 0,
+                feats.shape[0] if num_nodes is None else num_nodes,
+                dtype=src.dtype,
             )
+
+            def loss_fn(p):
+                return _loss_shard_global(
+                    p, feats, src, dst, rel, mask, chars, lens, src_layers,
+                    send_idx, neg_dst, drop_rng
+                )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)

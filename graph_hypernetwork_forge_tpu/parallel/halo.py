@@ -10,11 +10,17 @@ consumer's edges read from the owner's range, and the device-side exchange
 moves ONLY those rows with one ``all_to_all`` over the mesh axis —
 O(B·d) bytes where B is the per-pair boundary width.
 
-Combined with :func:`locality_relabel` (BFS relabeling so that range
-partitioning keeps neighborhoods on one device), the exchanged volume on
-clustered graphs drops by orders of magnitude vs the dense gather; on an
-adversarial random graph it degrades gracefully toward the all_gather
-volume (every row is somebody's boundary).
+Combined with :func:`locality_relabel` (label-propagation community
+relabeling so that range partitioning keeps neighborhoods on one device),
+the exchanged volume on clustered graphs drops by orders of magnitude vs
+the dense gather; on an adversarial random graph it degrades gracefully
+toward the all_gather volume (every row is somebody's boundary).
+
+Padding note: ``halo_width`` (B) is the *max* boundary over all device
+pairs, so one hot pair pads every pair's ``all_to_all`` block — the volume
+helpers below report this padded wire volume, which upper-bounds the true
+unique-row volume (fine at k=8; a bucketed per-pair layout is the pod-scale
+follow-up).
 
 Exactness: rows are copied verbatim and each dst's full in-edge set lives
 on its owner (same owner-computes property as the v1), so mean aggregation
@@ -53,6 +59,7 @@ class HaloPlan:
     """
 
     src_halo: np.ndarray    # [k * cap] int32, remapped per-consumer indices
+    src_global: np.ndarray  # [k * cap] global src ids, same partitioned layout
     dst: np.ndarray         # [k * cap] global dst ids (owner-local offsetable)
     rel_ids: np.ndarray     # [k * cap]
     edge_mask: np.ndarray   # [k * cap]
@@ -120,6 +127,7 @@ def build_halo_plan(
 
     return HaloPlan(
         src_halo=src_halo,
+        src_global=src_p,
         dst=dst_p,
         rel_ids=rel_p,
         edge_mask=mask_p,

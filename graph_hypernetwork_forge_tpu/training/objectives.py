@@ -26,7 +26,7 @@ def margin_ranking_loss(
     margin: float = 1.0,
     edge_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    per_edge = jnp.clip(margin - pos_scores + neg_scores, a_min=0.0)
+    per_edge = jnp.maximum(margin - pos_scores + neg_scores, 0.0)
     if edge_mask is None:
         return jnp.mean(per_edge)
     return jnp.sum(per_edge * edge_mask) / jnp.maximum(jnp.sum(edge_mask), 1.0)
@@ -68,7 +68,7 @@ def multi_negative_loss(
     pos = score_triple(embs[src], embs[dst])  # [B]
     neg = score_candidate_sets(embs, src, neg_dst)  # [B, K]
     per_pair = jnp.mean(
-        jnp.clip(margin - pos[:, None] + neg, a_min=0.0), axis=1
+        jnp.maximum(margin - pos[:, None] + neg, 0.0), axis=1
     )
     if edge_mask is None:
         return jnp.mean(per_pair)
