@@ -16,6 +16,8 @@ training throughput with the loss trace as proof of real work.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -65,15 +67,30 @@ def main() -> None:
     )
     from graph_hypernetwork_forge_tpu.training.train import make_multi_step
 
+    # Flagship perf path: relation-sorted edge layout + host-precomputed
+    # SortPlan so every scatter in the step lowers sort-free (fwd AND bwd);
+    # GHF_BENCH_BACKEND / GHF_BENCH_PLAN=0 override for A/B runs.
+    backend = os.environ.get("GHF_BENCH_BACKEND", "auto")
+    use_plan = os.environ.get("GHF_BENCH_PLAN", "1") != "0"
+
     feats, edge_index, edge_texts = build_inputs()
     config = HyperGNNConfig(
         text_dim=TEXT_DIM,
         node_feat_dim=FEAT_DIM,
         hidden_dim=HIDDEN,
         num_layers=LAYERS,
+        backend=backend,
+        rel_sorted=use_plan,
     )
     params = init_hypergnn(config, jax.random.PRNGKey(0))
-    graph = encode_graph(edge_index, edge_texts, N_NODES)
+    graph = encode_graph(
+        edge_index, edge_texts, N_NODES,
+        sort_by_relation=use_plan, with_sort_plan=use_plan,
+    )
+    plan = (
+        jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
+        if use_plan else None
+    )
 
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
@@ -84,14 +101,16 @@ def main() -> None:
     rng = jax.random.PRNGKey(1)
 
     # Warmup / compile; fetch forces execution.
-    params, opt_state, losses = step_fn(params, opt_state, feats_j, *arrays, rng)
+    params, opt_state, losses = step_fn(
+        params, opt_state, feats_j, *arrays, rng, sort_plan=plan
+    )
     np.asarray(losses)
 
     t0 = time.perf_counter()
     for _ in range(REPS):
         rng, step_rng = jax.random.split(rng)
         params, opt_state, losses = step_fn(
-            params, opt_state, feats_j, *arrays, step_rng
+            params, opt_state, feats_j, *arrays, step_rng, sort_plan=plan
         )
         np.asarray(losses)  # host fetch = true synchronization
     dt = time.perf_counter() - t0

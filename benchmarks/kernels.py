@@ -1,23 +1,29 @@
 #!/usr/bin/env python3
 """Kernel microbenchmark: per-edge contribution backends at d=128.
 
-Compares the three algebraically identical implementations of the hot op
+Compares the algebraically identical implementations of the hot op
 (per-edge ``x_src @ W_msg[rel] + bias`` / ``x_dst @ W_self[rel]``; reference
 semantics ``models/hypergnn.py:195-228``):
 
-- ``dense``  — all-relations batched matmul ``[2U, N, d]`` + vector gathers,
-- ``gather`` — per-edge ``[E, d, d]`` weight gather + matvec (the
+- ``dense``   — all-relations batched matmul ``[2U, N, d]`` + vector gathers,
+- ``grouped`` — relation-grouped ``jax.lax.ragged_dot`` (XLA's MoE grouped
+  matmul; the committed default at relation-sparse scale),
+- ``gather``  — per-edge ``[E, d, d]`` weight gather + matvec (the
   reference's own formulation; O(E·d²) HBM traffic),
-- ``pallas`` — fused relation-sorted weight-select + tile matmul kernel
-  (``ops/pallas/edge_transform.py``; d % 128 == 0 only — Mosaic compiles
-  sub-lane-width blocks pathologically slowly on this stack).
+- ``pallas``  — streaming single-relation-tile kernel
+  (``ops/pallas/edge_transform.py``): the per-tile relation id is
+  scalar-prefetched and drives the weight BlockSpec, so one ``[d, d]``
+  weight pair streams per tile (VMEM high water O(TILE·d + d²)).
 
-Each line reports edges/s for the *contribution* stage alone (forward), plus
-a roofline estimate: the gather backend moves ≥ 2·E·d²·4 B of weights, so
-its ceiling is HBM-bandwidth-bound; dense/pallas move O(U·d² + N·d + E·d).
+All backends consume the SAME group-padded sorted layout
+(``encode_graph(sort_by_relation=True, group_pad=256)``) so outputs are
+bit-comparable; the masked pad rows (~U·TILE/2 extra, ≤4% here) are charged
+against every backend equally. d % 128 == 0 only for pallas — Mosaic
+compiles sub-lane-width blocks pathologically slowly on this stack.
 
+Each line reports edges/s for the *contribution* stage alone (forward).
 Prints one JSON line per (config, backend). Usage: ``python
-benchmarks/kernels.py [--small]``.
+benchmarks/kernels.py [--small] [--bwd]``.
 """
 
 from __future__ import annotations
@@ -32,31 +38,47 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from graph_hypernetwork_forge_tpu.data.encoding import encode_graph  # noqa: E402
 from graph_hypernetwork_forge_tpu.ops.message_passing import (  # noqa: E402
     _edge_contributions_dense,
     _edge_contributions_gather,
     _edge_contributions_grouped,
+)
+from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (  # noqa: E402
+    GROUP_PAD,
+    edge_transform_sorted,
 )
 
 CONFIGS = [
     # (name, N, E, U, d)
     ("u50-d128", 10_000, 500_000, 50, 128),
     ("u200-d128", 100_000, 2_000_000, 200, 128),
+    ("xl-d128", 50_000, 1_000_000, 237, 128),
 ]
 SMALL = [("small-d128", 1_000, 50_000, 20, 128)]
 
 
-def run(name, n, e, u, d, reps=5):
+def run(name, n, e, u, d, reps=5, with_bwd=False):
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-    src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
-    dst = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
-    # Relation-sorted edge order (the layout the Pallas kernel wants and the
-    # CSR builder produces); all backends consume the same layout.
-    rel = jnp.asarray(np.sort(rng.integers(0, u, e)).astype(np.int32))
-    w_msg = jnp.asarray(0.01 * rng.standard_normal((u, d, d)).astype(np.float32))
-    w_self = jnp.asarray(0.01 * rng.standard_normal((u, d, d)).astype(np.float32))
-    bias = jnp.asarray(0.01 * rng.standard_normal((u, d)).astype(np.float32))
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    texts = [f"relation type number {i}" for i in range(u)]
+    etexts = [texts[i] for i in rng.integers(0, u, e)]
+    graph = encode_graph(
+        ei, etexts, n, sort_by_relation=True, group_pad=GROUP_PAD
+    )
+    e_pad = graph.src.shape[0]
+    src = jnp.asarray(graph.src)
+    dst = jnp.asarray(graph.dst)
+    rel = jnp.asarray(graph.rel_ids)
+    u_pad = graph.char_ids.shape[0]
+    w_msg = jnp.asarray(
+        0.01 * rng.standard_normal((u_pad, d, d)).astype(np.float32)
+    )
+    w_self = jnp.asarray(
+        0.01 * rng.standard_normal((u_pad, d, d)).astype(np.float32)
+    )
+    bias = jnp.asarray(0.01 * rng.standard_normal((u_pad, d)).astype(np.float32))
 
     def bench(fn, label, fused=10):
         # Fuse `fused` iterations into one program (lax.scan, carry feeds a
@@ -65,6 +87,24 @@ def run(name, n, e, u, d, reps=5):
         # Full-output reductions keep every edge's contribution live — a
         # [0, 0] probe would let XLA narrow/DCE per-edge work, and unevenly
         # across backends (ragged_dot is opaque; dense/gather are not).
+        if with_bwd:
+            base = fn
+
+            def fn(h, src, dst, rel, w_msg, w_self, bias):
+                def scalar(h, w_msg, w_self, bias):
+                    m, s = base(h, src, dst, rel, w_msg, w_self, bias)
+                    return jnp.sum(m * m) + jnp.sum(s), (m, s)
+
+                grads, (m, s) = jax.grad(
+                    scalar, argnums=(0, 1, 2, 3), has_aux=True
+                )(h, w_msg, w_self, bias)
+                # keep all grads live in the scan output
+                m = m + 1e-30 * (
+                    jnp.sum(grads[1]) + jnp.sum(grads[2]) + jnp.sum(grads[3])
+                    + jnp.sum(grads[0])
+                )
+                return m, s
+
         def prog(h, src, dst, rel, w_msg, w_self, bias):
             def body(c, _):
                 m, s = fn(h + c, src, dst, rel, w_msg, w_self, bias)
@@ -84,6 +124,7 @@ def run(name, n, e, u, d, reps=5):
                 {
                     "config": name,
                     "backend": label,
+                    "mode": "fwd+bwd" if with_bwd else "fwd",
                     "edges_per_s": round(e / dt),
                     "ms": round(dt * 1e3, 3),
                 }
@@ -91,36 +132,45 @@ def run(name, n, e, u, d, reps=5):
         )
         return jax.jit(fn)(h, src, dst, rel, w_msg, w_self, bias)
 
-    ref = bench(
-        lambda *a: _edge_contributions_dense(*a, precision="highest"), "dense"
-    )
-    bench(
-        lambda *a: _edge_contributions_grouped(*a, precision="highest"),
+    ref = None
+    if 2 * u_pad * n * d <= 2**28:  # dense materializes [2U, N, d]
+        ref = bench(
+            lambda *a: _edge_contributions_dense(*a, precision="highest"),
+            "dense",
+        )
+    grp = bench(
+        lambda *a: _edge_contributions_grouped(
+            *a, precision="highest", rel_sorted=True
+        ),
         "grouped",
     )
+    if ref is None:
+        ref = grp
     got = None
-    if e * d * d <= 2**33:  # gather materializes [E, d, d] x2 — cap memory
+    if e_pad * d * d <= 2**28 and not with_bwd:  # gather: [E, d, d] x2
         bench(
             lambda *a: _edge_contributions_gather(*a, precision="highest"),
             "gather",
         )
     if jax.default_backend() == "tpu" and d % 128 == 0:
-        from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
-            edge_contributions_pallas,
-        )
+        def pallas_fn(h, src, dst, rel, w_msg, w_self, bias):
+            return edge_transform_sorted(
+                h[src], h[dst], rel, w_msg, w_self, bias
+            )
 
-        got = bench(lambda *a: edge_contributions_pallas(*a), "pallas")
+        got = bench(pallas_fn, "pallas")
     if got is not None:
         err = float(
             jnp.max(jnp.abs(got[0] - ref[0])) + jnp.max(jnp.abs(got[1] - ref[1]))
         )
-        print(json.dumps({"config": name, "pallas_vs_dense_max_err": err}))
+        print(json.dumps({"config": name, "pallas_vs_ref_max_err": err}))
 
 
 def main():
     configs = SMALL if "--small" in sys.argv else CONFIGS
+    with_bwd = "--bwd" in sys.argv
     for cfg in configs:
-        run(*cfg)
+        run(*cfg, with_bwd=with_bwd)
 
 
 if __name__ == "__main__":

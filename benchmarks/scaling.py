@@ -65,10 +65,20 @@ def run_config(name, n, e, u, d, ref):
     etexts = [texts[i] for i in rng.integers(0, u, size=e)]
     # Relation-sorted edge layout + host-precomputed SortPlan: the compute
     # core then lowers with ZERO in-jit key sorts (every scatter becomes a
-    # bijective gather + sorted-hint segment-sum, fwd and bwd).
-    graph = encode_graph(ei, etexts, n, sort_by_relation=True, with_sort_plan=True)
+    # bijective gather + sorted-hint segment-sum, fwd and bwd). Above ~2M
+    # edges the plan's permutation gathers materialize extra [E, d] buffers
+    # (measured OOM at E=10M: two f32[10.5M,64] live at 5 GB each with 2x
+    # T(8,128) layout padding), so the xxl config runs rel_sorted without a
+    # plan — in-jit segment sums, bounded memory.
+    with_plan = e <= 2_000_000
+    graph = encode_graph(
+        ei, etexts, n, sort_by_relation=True, with_sort_plan=with_plan
+    )
     arrays = tuple(jnp.asarray(a) for a in graph.arrays)
-    plan = jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
+    plan = (
+        jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
+        if with_plan else None
+    )
 
     config = HyperGNNConfig(
         text_dim=64, node_feat_dim=d, hidden_dim=d, num_layers=2,

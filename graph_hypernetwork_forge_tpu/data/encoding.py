@@ -137,6 +137,9 @@ class EncodedGraph:
     unique_texts: Tuple[str, ...]
     rel_sorted: bool = False
     sort_plan: "SortPlan | None" = None
+    # Non-zero when each relation's edge group is padded to a multiple of
+    # this tile size (single-relation tiles — the Pallas kernel layout).
+    group_pad: int = 0
 
     @property
     def arrays(self) -> tuple:
@@ -166,6 +169,20 @@ def validate_graph_for_config(graph: EncodedGraph, config) -> None:
             "layout — build the graph with "
             "encode_graph(..., sort_by_relation=True)"
         )
+    if getattr(config, "backend", None) == "pallas":
+        from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
+            GROUP_PAD,
+        )
+
+        if not graph.group_pad or graph.group_pad % GROUP_PAD:
+            raise ValueError(
+                "backend='pallas' requires the group-padded sorted edge "
+                "layout with the kernel tile dividing the pad — build the "
+                f"graph with encode_graph(..., sort_by_relation=True, "
+                f"group_pad={GROUP_PAD}) (got group_pad={graph.group_pad}); "
+                "merely-sorted edges would silently apply a tile's first "
+                "relation to all its rows"
+            )
     plan = graph.sort_plan
     if plan is not None and plan.dst_perm.shape != graph.dst.shape:
         raise ValueError(
@@ -208,6 +225,7 @@ def encode_graph(
     pad: bool = True,
     sort_by_relation: bool = False,
     with_sort_plan: bool = False,
+    group_pad: int = 0,
 ) -> EncodedGraph:
     """Build an :class:`EncodedGraph` from raw connectivity + relation strings.
 
@@ -223,6 +241,14 @@ def encode_graph(
     compute core uses to eliminate every remaining in-jit scatter sort —
     pass ``graph.sort_plan`` into the model/train step alongside
     ``graph.arrays``.
+
+    ``group_pad=T`` (requires ``sort_by_relation``) pads each relation's
+    edge group with masked rows (carrying the group's relation id) to a
+    multiple of ``T``, so every ``T``-row tile of the edge axis contains a
+    single relation — the layout contract of the Pallas streaming kernel
+    (``ops/pallas/edge_transform.py``). Typical overhead: ``U·T/2`` extra
+    masked rows (~3% at U=237, T=256, E=1M). Implies the edge bucket
+    padding (the group padding IS the static-shape discipline).
     """
     edge_index = np.asarray(edge_index)
     if edge_index.ndim != 2 or edge_index.shape[0] != 2:
@@ -233,32 +259,66 @@ def encode_graph(
             f"edge_index has {e} edges but edge_texts has {len(edge_texts)} entries"
         )
 
+    if group_pad and not sort_by_relation:
+        raise ValueError("group_pad requires sort_by_relation=True")
+
     unique_texts, rel_ids = dedup_texts(edge_texts)
     u = len(unique_texts)
     char_ids, lengths = tokenize_texts(unique_texts)
 
-    e_pad = pad_bucket_edges(e) if pad else max(e, 1)
     u_pad = pad_bucket_relations(u) if pad else max(u, 1)
 
-    src = np.zeros(e_pad, dtype=np.int32)
-    dst = np.zeros(e_pad, dtype=np.int32)
-    rids = np.zeros(e_pad, dtype=np.int32)
-    mask = np.zeros(e_pad, dtype=np.float32)
-    src[:e] = edge_index[0]
-    dst[:e] = edge_index[1]
-    rids[:e] = rel_ids
-    mask[:e] = 1.0
-    if sort_by_relation:
-        from graph_hypernetwork_forge_tpu.native_bridge import get_native
+    if group_pad:
+        # Group-padded layout: each relation's (stable-ordered) edges start
+        # at a tile-aligned offset; pad rows carry the group's relation id
+        # with mask 0, so every group_pad-row tile is single-relation.
+        g = int(group_pad)
+        counts = np.bincount(rel_ids, minlength=u_pad) if e else np.zeros(
+            u_pad, dtype=np.int64
+        )
+        padded = ((counts + g - 1) // g) * g
+        if padded.sum() == 0:
+            padded[u_pad - 1] = g
+        offsets = np.concatenate([[0], np.cumsum(padded)[:-1]])
+        e_pad = int(padded.sum())
+        src = np.zeros(e_pad, dtype=np.int32)
+        dst = np.zeros(e_pad, dtype=np.int32)
+        mask = np.zeros(e_pad, dtype=np.float32)
+        rids = np.repeat(
+            np.arange(u_pad, dtype=np.int32), padded
+        )  # non-decreasing incl. pad rows
+        if e:
+            order = np.argsort(rel_ids, kind="stable")
+            sorted_rel = rel_ids[order]
+            group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            within = np.arange(e) - group_start[sorted_rel]
+            pos = offsets[sorted_rel] + within
+            src[pos] = edge_index[0][order]
+            dst[pos] = edge_index[1][order]
+            mask[pos] = 1.0
+    else:
+        e_pad = pad_bucket_edges(e) if pad else max(e, 1)
+        src = np.zeros(e_pad, dtype=np.int32)
+        dst = np.zeros(e_pad, dtype=np.int32)
+        rids = np.zeros(e_pad, dtype=np.int32)
+        mask = np.zeros(e_pad, dtype=np.float32)
+        src[:e] = edge_index[0]
+        dst[:e] = edge_index[1]
+        rids[:e] = rel_ids
+        mask[:e] = 1.0
+        if sort_by_relation:
+            from graph_hypernetwork_forge_tpu.native_bridge import get_native
 
-        native = get_native()
-        if native is not None:
-            # Counting sort in C++ (stable, O(E + U)) — faster than argsort
-            # at multi-million-edge scale.
-            order = native.sort_by_relation(rids, u_pad)
-        else:
-            order = np.argsort(rids, kind="stable")
-        src, dst, rids, mask = src[order], dst[order], rids[order], mask[order]
+            native = get_native()
+            if native is not None:
+                # Counting sort in C++ (stable, O(E + U)) — faster than
+                # argsort at multi-million-edge scale.
+                order = native.sort_by_relation(rids, u_pad)
+            else:
+                order = np.argsort(rids, kind="stable")
+            src, dst, rids, mask = (
+                src[order], dst[order], rids[order], mask[order]
+            )
 
     cid = np.zeros((u_pad, char_ids.shape[1]), dtype=np.int32)
     lens = np.ones(u_pad, dtype=np.int32)  # padding rows behave like ""
@@ -284,4 +344,5 @@ def encode_graph(
         unique_texts=tuple(unique_texts),
         rel_sorted=sort_by_relation,
         sort_plan=plan,
+        group_pad=int(group_pad),
     )

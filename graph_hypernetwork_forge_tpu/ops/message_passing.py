@@ -434,14 +434,20 @@ def relational_message_passing(
             # Mosaic compiles sub-lane-width (d < 128) blocks pathologically
             # slowly on this stack; the dense path is faster there anyway.
             chosen = "dense"
+        elif not rel_sorted:
+            # The streaming kernel's contract is single-relation tiles
+            # (group-padded sorted layout, encode_graph(group_pad=...));
+            # unsorted edges fall back to the grouped ragged backend.
+            chosen = "grouped"
 
     if chosen == "pallas":
         from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
-            edge_contributions_pallas,
+            edge_contributions_pallas_sorted,
         )
 
-        msg, self_contrib = edge_contributions_pallas(
-            h, src, dst, rel_ids, w_msg, w_self, bias
+        msg, self_contrib = edge_contributions_pallas_sorted(
+            h, src, dst, rel_ids, w_msg, w_self, bias, sort_plan=sort_plan,
+            interpret=jax.default_backend() != "tpu",
         )
     elif chosen == "dense":
         msg, self_contrib = _edge_contributions_dense(

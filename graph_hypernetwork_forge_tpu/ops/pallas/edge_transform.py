@@ -1,23 +1,34 @@
-"""Pallas TPU kernel: relation-grouped per-edge transforms.
+"""Pallas TPU kernels: relation-grouped per-edge transforms.
 
-Computes, for edges *sorted by relation id*:
+Computes, for edges *sorted by relation id* and *group-padded* so every
+``TILE_E``-row tile contains edges of exactly ONE relation
+(``encode_graph(sort_by_relation=True, group_pad=TILE_E)``):
 
-    msg[e]  = x_src[e] @ W_msg[rel[e]] + bias[rel[e]]
+    msg[e]   = x_src[e] @ W_msg[rel[e]] + bias[rel[e]]
     selfc[e] = x_dst[e] @ W_self[rel[e]]
 
 without ever materializing per-edge ``[E, d, d]`` weights (the reference's
-O(E·d²) blow-up, ``models/hypergnn.py:195-228``). The kernel tiles the edge
-axis; because edges are relation-sorted, each tile touches a short contiguous
-relation range ``[lo, hi]`` (scalar-prefetched per tile), and the tile's work
-is a few MXU ``[TILE_E, d] @ [d, d]`` matmuls with row masks — one per
-relation present in the tile, typically 1-2.
+O(E·d²) blow-up, ``models/hypergnn.py:195-228``) and — unlike the round-2
+kernel this replaces — without parking the whole ``[U, d, d]`` weight banks
+in VMEM: the per-tile relation id is scalar-prefetched and drives the
+weight BlockSpec index map, so the pipeline streams exactly ONE ``[d, d]``
+weight pair per tile from HBM (the MoE grouped-matmul pattern). VMEM high
+water is O(TILE_E·d + d²) regardless of U.
 
-The node-feature gathers (``h[src]``, ``h[dst]``) are left to XLA (a native
-gather feeding the kernel); the kernel fuses the weight-select + matmul +
-bias, which is where the per-edge memory traffic lived.
+The node-feature gathers (``h[src]``, ``h[dst]``) are left to XLA (native
+gathers feeding the kernel — with a
+:class:`~graph_hypernetwork_forge_tpu.data.encoding.SortPlan` their
+backward cotangents reduce sort-free, see
+:func:`edge_contributions_pallas_sorted`).
 
-A custom VJP implements the backward as the same kernel with transposed
-weights (for dx) plus relation-segment outer-product kernels (for dW, dbias).
+A custom VJP implements the backward as (a) the same streaming kernel with
+transposed weights (dx), (b) a revisit-accumulate segment-outer kernel
+(dW[u] accumulates across that relation's consecutive tiles in VMEM and is
+written back once per relation), (c) a sorted-hint segment sum (dbias).
+
+Correctness contract: tiles MUST be single-relation. The group-padded
+layout guarantees it; calling these kernels on merely-sorted (un-padded)
+edges silently applies the tile's first relation to all its rows.
 """
 
 from __future__ import annotations
@@ -31,111 +42,86 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE_E = 256
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
+# Canonical edge-tile size == the group-pad multiple the host encoder uses
+# (``encode_graph(group_pad=GROUP_PAD)``). 256 rows × d=128 f32 keeps every
+# VMEM block ≤ 128 KiB with double buffering.
+GROUP_PAD = 256
+DEFAULT_TILE_E = GROUP_PAD
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tile_maps(rel_sorted: jax.Array, tile_e: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-tile (relation id, is-first-tile-of-its-relation) — cheap in-jit.
+
+    Valid because tiles are single-relation: the tile's relation is its
+    first row's relation.
+    """
+    tile_rel = rel_sorted[::tile_e].astype(jnp.int32)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            (tile_rel[1:] != tile_rel[:-1]).astype(jnp.int32),
+        ]
+    )
+    return tile_rel, first
+
+
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward: per-tile [TILE_E, d_in] @ [d_in, d_out] with streamed weights
 # ---------------------------------------------------------------------------
 
 
 def _edge_transform_kernel(
-    # scalar-prefetch
-    rel_lo_ref,  # [T] first relation id in each tile
-    rel_hi_ref,  # [T] last relation id in each tile
-    # tensor inputs (per tile unless noted)
-    x_src_ref,  # [TILE_E, d_in]
-    x_dst_ref,  # [TILE_E, d_in]
-    rel_ref,  # [TILE_E, 1] relation id per edge
-    w_msg_ref,  # [U, d_in, d_out] (whole bank in VMEM)
-    w_self_ref,  # [U, d_in, d_out]
-    bias_ref,  # [U, d_out]
-    # outputs
-    msg_ref,  # [TILE_E, d_out]
-    selfc_ref,  # [TILE_E, d_out]
+    tr_ref,       # [T] scalar-prefetch: relation id per tile
+    xs_ref,       # [TILE_E, d_in]
+    xd_ref,       # [TILE_E, d_in]
+    wm_ref,       # [1, d_in, d_out]  (this tile's relation only)
+    ws_ref,       # [1, d_in, d_out]
+    b_ref,        # [1, d_out]
+    msg_ref,      # [TILE_E, d_out]
+    self_ref,     # [TILE_E, d_out]
 ):
-    t = pl.program_id(0)
-    lo = rel_lo_ref[t]
-    hi = rel_hi_ref[t]
-    rel = rel_ref[:]  # [TILE_E, 1]
-    x_src = x_src_ref[:]
-    x_dst = x_dst_ref[:]
-
-    msg_ref[:] = jnp.zeros_like(msg_ref)
-    selfc_ref[:] = jnp.zeros_like(selfc_ref)
-
-    def body(u, _):
-        row_mask = (rel == u).astype(x_src.dtype)  # [TILE_E, 1]
-        wm = w_msg_ref[u]  # [d_in, d_out]
-        ws = w_self_ref[u]
-        b = bias_ref[u]  # [d_out]
-        m = (
-            jnp.dot(x_src * row_mask, wm, preferred_element_type=jnp.float32)
-            + row_mask * b[None, :]
-        )
-        s = jnp.dot(x_dst * row_mask, ws, preferred_element_type=jnp.float32)
-        msg_ref[:] += m
-        selfc_ref[:] += s
-        return 0
-
-    jax.lax.fori_loop(lo, hi + 1, body, 0)
-
-
-def _tile_rel_bounds(rel_sorted: jax.Array, tile_e: int) -> Tuple[jax.Array, jax.Array]:
-    """Per-tile [lo, hi] relation id bounds (computed with XLA, tiny)."""
-    e = rel_sorted.shape[0]
-    num_tiles = _cdiv(e, tile_e)
-    padded = jnp.pad(rel_sorted, (0, num_tiles * tile_e - e), mode="edge")
-    tiles = padded.reshape(num_tiles, tile_e)
-    return jnp.min(tiles, axis=1), jnp.max(tiles, axis=1)
+    msg_ref[:] = (
+        jnp.dot(xs_ref[:], wm_ref[0], preferred_element_type=jnp.float32)
+        + b_ref[0][None, :]
+    )
+    self_ref[:] = jnp.dot(
+        xd_ref[:], ws_ref[0], preferred_element_type=jnp.float32
+    )
 
 
 def _edge_transform_fwd_impl(
-    x_src: jax.Array,
-    x_dst: jax.Array,
-    rel_sorted: jax.Array,
-    w_msg: jax.Array,
-    w_self: jax.Array,
-    bias: jax.Array,
-    *,
-    tile_e: int = DEFAULT_TILE_E,
-    interpret: bool = False,
+    x_src, x_dst, rel_sorted, w_msg, w_self, bias,
+    *, tile_e: int = DEFAULT_TILE_E, interpret: bool = False,
 ):
     e, d_in = x_src.shape
     u, _, d_out = w_msg.shape
     e_pad = _round_up(e, tile_e)
     if e_pad != e:
+        # Tail rows extend the LAST tile's relation (mode="edge") so the
+        # single-relation-per-tile invariant holds; outputs are sliced off.
         x_src = jnp.pad(x_src, ((0, e_pad - e), (0, 0)))
         x_dst = jnp.pad(x_dst, ((0, e_pad - e), (0, 0)))
         rel_sorted = jnp.pad(rel_sorted, (0, e_pad - e), mode="edge")
     num_tiles = e_pad // tile_e
-
-    rel_lo, rel_hi = _tile_rel_bounds(rel_sorted, tile_e)
-    rel_col = rel_sorted.astype(jnp.int32)[:, None]  # [E_pad, 1]
+    tile_rel, _ = _tile_maps(rel_sorted, tile_e)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            # index_map args: (grid idx, *scalar-prefetch refs)
-            pl.BlockSpec((tile_e, d_in), lambda t, lo, hi: (t, 0)),
-            pl.BlockSpec((tile_e, d_in), lambda t, lo, hi: (t, 0)),
-            pl.BlockSpec((tile_e, 1), lambda t, lo, hi: (t, 0)),
-            pl.BlockSpec((u, d_in, d_out), lambda t, lo, hi: (0, 0, 0)),
-            pl.BlockSpec((u, d_in, d_out), lambda t, lo, hi: (0, 0, 0)),
-            pl.BlockSpec((u, d_out), lambda t, lo, hi: (0, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, tr: (t, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, tr: (t, 0)),
+            pl.BlockSpec((1, d_in, d_out), lambda t, tr: (tr[t], 0, 0)),
+            pl.BlockSpec((1, d_in, d_out), lambda t, tr: (tr[t], 0, 0)),
+            pl.BlockSpec((1, d_out), lambda t, tr: (tr[t], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tile_e, d_out), lambda t, lo, hi: (t, 0)),
-            pl.BlockSpec((tile_e, d_out), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((tile_e, d_out), lambda t, tr: (t, 0)),
+            pl.BlockSpec((tile_e, d_out), lambda t, tr: (t, 0)),
         ],
     )
     msg, selfc = pl.pallas_call(
@@ -149,53 +135,52 @@ def _edge_transform_fwd_impl(
         cost_estimate=pl.CostEstimate(
             flops=4 * e_pad * d_in * d_out,
             bytes_accessed=(
-                2 * e_pad * d_in * 4 + 2 * u * d_in * d_out * 4 + 2 * e_pad * d_out * 4
+                2 * e_pad * d_in * 4
+                + 2 * num_tiles * d_in * d_out * 4
+                + 2 * e_pad * d_out * 4
             ),
             transcendentals=0,
         ),
-    )(rel_lo, rel_hi, x_src, x_dst, rel_col, w_msg, w_self, bias)
+    )(tile_rel, x_src, x_dst, w_msg, w_self, bias)
     return msg[:e], selfc[:e]
 
 
 # ---------------------------------------------------------------------------
-# Backward: dW[u] = X_u^T @ G_u per relation segment, dbias = segment sum
+# Backward dW: revisit-accumulate segment outer product
 # ---------------------------------------------------------------------------
 
 
 def _segment_outer_kernel(
-    rel_lo_ref,
-    rel_hi_ref,
-    x_ref,  # [TILE_E, d_in]
-    g_ref,  # [TILE_E, d_out]
-    rel_ref,  # [TILE_E, 1]
-    dw_ref,  # [U, d_in, d_out] accumulated across grid (output, aliased)
+    tr_ref,    # [T] relation id per tile
+    first_ref, # [T] 1 when tile t starts a new relation
+    x_ref,     # [TILE_E, d_in]
+    g_ref,     # [TILE_E, d_out]
+    dw_ref,    # [1, d_in, d_out] — revisited across the relation's tiles
 ):
     t = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(first_ref[t] == 1)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    lo = rel_lo_ref[t]
-    hi = rel_hi_ref[t]
-    rel = rel_ref[:]
-    x = x_ref[:]
-    g = g_ref[:]
-
-    def body(u, _):
-        row_mask = (rel == u).astype(x.dtype)
-        contrib = jnp.dot(
-            (x * row_mask).T, g, preferred_element_type=jnp.float32
-        )  # [d_in, d_out]
-        dw_ref[u] += contrib
-        return 0
-
-    jax.lax.fori_loop(lo, hi + 1, body, 0)
+    contrib = jax.lax.dot_general(
+        x_ref[:], g_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [d_in, d_out]
+    dw_ref[0] += contrib
 
 
 def _segment_outer_impl(x, g, rel_sorted, num_rel, *, tile_e=DEFAULT_TILE_E,
                         interpret=False):
-    """dW[u] = Σ_{e: rel=u} x[e]^T g[e] over relation-sorted edges."""
+    """dW[u] = Σ_{e: rel=u} x[e]ᵀ g[e] over single-relation tiles.
+
+    The output block index map follows the tile's relation: consecutive
+    tiles of one relation accumulate into the SAME VMEM block (zeroed on
+    the relation's first tile) and the block is written back to HBM once
+    when the relation changes. Relations with no tiles are never visited —
+    the caller masks them to zero (their VMEM/HBM content is undefined).
+    """
     e, d_in = x.shape
     d_out = g.shape[1]
     e_pad = _round_up(e, tile_e)
@@ -204,25 +189,37 @@ def _segment_outer_impl(x, g, rel_sorted, num_rel, *, tile_e=DEFAULT_TILE_E,
         g = jnp.pad(g, ((0, e_pad - e), (0, 0)))
         rel_sorted = jnp.pad(rel_sorted, (0, e_pad - e), mode="edge")
     num_tiles = e_pad // tile_e
-    rel_lo, rel_hi = _tile_rel_bounds(rel_sorted, tile_e)
-    rel_col = rel_sorted.astype(jnp.int32)[:, None]
+    tile_rel, tile_first = _tile_maps(rel_sorted, tile_e)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_e, d_in), lambda t, lo, hi: (t, 0)),
-            pl.BlockSpec((tile_e, d_out), lambda t, lo, hi: (t, 0)),
-            pl.BlockSpec((tile_e, 1), lambda t, lo, hi: (t, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, tr, fr: (t, 0)),
+            pl.BlockSpec((tile_e, d_out), lambda t, tr, fr: (t, 0)),
         ],
-        out_specs=pl.BlockSpec((num_rel, d_in, d_out), lambda t, lo, hi: (0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, d_in, d_out), lambda t, tr, fr: (tr[t], 0, 0)
+        ),
     )
-    return pl.pallas_call(
+    dw = pl.pallas_call(
         _segment_outer_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_rel, d_in, d_out), jnp.float32),
         interpret=interpret,
-    )(rel_lo, rel_hi, x, g, rel_col)
+    )(tile_rel, tile_first, x, g)
+    # Zero the never-visited relations (empty groups): their blocks hold
+    # undefined memory. Tile counts reduce sorted (T entries — negligible).
+    visited = (
+        jax.ops.segment_sum(
+            jnp.ones_like(tile_rel, dtype=jnp.float32),
+            tile_rel,
+            num_segments=num_rel,
+            indices_are_sorted=True,
+        )
+        > 0
+    )
+    return jnp.where(visited[:, None, None], dw, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -235,11 +232,11 @@ def edge_transform_sorted(
     x_src, x_dst, rel_sorted, w_msg, w_self, bias, tile_e=DEFAULT_TILE_E,
     interpret=False,
 ):
-    """Fused relation-grouped edge transform over relation-sorted edges.
+    """Fused relation-grouped edge transform over group-padded sorted edges.
 
     Returns ``(msg [E, d_out], selfc [E, d_out])``. Requires ``rel_sorted``
-    to be non-decreasing (sort edges by relation first — see
-    ``ops/message_passing.py`` pallas backend for the sort/unsort wrapper).
+    non-decreasing AND group boundaries aligned to ``tile_e``
+    (``encode_graph(sort_by_relation=True, group_pad=tile_e)``).
     """
     return _edge_transform_fwd_impl(
         x_src, x_dst, rel_sorted, w_msg, w_self, bias,
@@ -260,8 +257,8 @@ def _bwd(tile_e, interpret, residuals, grads):
     g_msg, g_selfc = grads
     u = w_msg.shape[0]
 
-    # dx via the same fused kernel with transposed weights (bias grad path
-    # handled separately).
+    # dx via the same streaming kernel with transposed weights (bias grad
+    # handled separately below).
     zeros_bias = jnp.zeros((u, w_msg.shape[1]), dtype=bias.dtype)
     dx_src, dx_dst = _edge_transform_fwd_impl(
         g_msg,
@@ -279,7 +276,9 @@ def _bwd(tile_e, interpret, residuals, grads):
     dw_self = _segment_outer_impl(
         x_dst, g_selfc, rel_sorted, u, tile_e=tile_e, interpret=interpret
     )
-    dbias = jax.ops.segment_sum(g_msg, rel_sorted, num_segments=u)
+    dbias = jax.ops.segment_sum(
+        g_msg, rel_sorted, num_segments=u, indices_are_sorted=True
+    )
     return dx_src, dx_dst, None, dw_msg, dw_self, dbias
 
 
@@ -287,38 +286,23 @@ edge_transform_sorted.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
-# Unsorted-edge wrapper used by the message-passing `pallas` backend
+# Message-passing backend entry point
 # ---------------------------------------------------------------------------
-
-
-def edge_contributions_pallas(h, src, dst, rel_ids, w_msg, w_self, bias,
-                              *, tile_e: int = DEFAULT_TILE_E,
-                              interpret: bool = False):
-    """Drop-in for ``_edge_contributions_*``: sorts edges by relation,
-    runs the fused kernel, scatters results back to original edge order."""
-    order = jnp.argsort(rel_ids, stable=True)
-    inv = jnp.argsort(order, stable=True)
-    x_src = h[src[order]]
-    x_dst = h[dst[order]]
-    rel_sorted = rel_ids[order]
-    msg_s, selfc_s = edge_transform_sorted(
-        x_src, x_dst, rel_sorted, w_msg, w_self, bias, tile_e, interpret
-    )
-    return msg_s[inv], selfc_s[inv]
 
 
 def edge_contributions_pallas_sorted(
     h, src, dst, rel_ids, w_msg, w_self, bias,
     *, sort_plan=None, tile_e: int = DEFAULT_TILE_E, interpret: bool = False,
 ):
-    """Relation-presorted fast path: no in-jit argsort/unsort.
+    """Drop-in for ``_edge_contributions_*`` on the group-padded sorted
+    layout (``encode_graph(sort_by_relation=True, group_pad=tile_e)``) —
+    the ``pallas`` backend of
+    :func:`~graph_hypernetwork_forge_tpu.ops.message_passing.relational_message_passing`.
 
-    Edges must already be stable-sorted by ``rel_ids``
-    (``encode_graph(sort_by_relation=True)``). With a
-    :class:`~graph_hypernetwork_forge_tpu.data.encoding.SortPlan`, the
-    ``h[src]`` / ``h[dst]`` gathers route their backward cotangents through
-    the plan's permutations (sorted-hint segment-sums), keeping the whole
-    layer sort-free end to end.
+    With a :class:`~graph_hypernetwork_forge_tpu.data.encoding.SortPlan`,
+    the ``h[src]`` / ``h[dst]`` gathers route their backward cotangents
+    through the plan's permutations (sorted-hint segment-sums), keeping the
+    whole layer sort-free end to end.
     """
     if sort_plan is not None:
         from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted

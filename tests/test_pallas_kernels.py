@@ -1,8 +1,10 @@
 """Pallas kernel tests (interpret mode on CPU; compiled on TPU).
 
-Each kernel is validated against its jnp reference implementation, including
-the custom VJP — the property tests the build plan requires for every kernel
-(SURVEY.md §7.2.3).
+The streaming edge-transform kernel (``ops/pallas/edge_transform.py``)
+requires the group-padded sorted layout (single-relation tiles,
+``encode_graph(sort_by_relation=True, group_pad=T)``). Each test validates
+against the jnp gather oracle, including the custom VJP — the property
+tests the build plan requires for every kernel (SURVEY.md §7.2.3).
 """
 
 import jax
@@ -10,43 +12,86 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
-    edge_contributions_pallas,
-    edge_transform_sorted,
-)
+from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
 from graph_hypernetwork_forge_tpu.ops.message_passing import (
     _edge_contributions_gather,
+    relational_message_passing,
+)
+from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
+    GROUP_PAD,
+    edge_contributions_pallas_sorted,
+    edge_transform_sorted,
 )
 
 INTERPRET = jax.default_backend() != "tpu"
+# The kernel tile must DIVIDE the encode-time group pad (group boundaries
+# stay tile-aligned); the canonical layout uses GROUP_PAD for both.
+TILE = GROUP_PAD
 
 
-def make_case(seed=0, n=64, e=512, u=7, d_in=16, d_out=16, sorted_rel=True):
+def make_case(seed=0, n=64, e=500, u=7, d_in=16, tile=TILE, plan=True):
+    """Group-padded sorted graph + random weights (d_out = d_in)."""
     rng = np.random.default_rng(seed)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    texts = [f"relation kind {i}" for i in range(u)]
+    etexts = [texts[i] for i in rng.integers(0, u, e)]
+    graph = encode_graph(
+        ei, etexts, n, sort_by_relation=True, with_sort_plan=plan,
+        group_pad=tile,
+    )
+    u_pad = graph.char_ids.shape[0]
     h = rng.standard_normal((n, d_in)).astype(np.float32)
-    src = rng.integers(0, n, size=e).astype(np.int32)
-    dst = rng.integers(0, n, size=e).astype(np.int32)
-    rel = rng.integers(0, u, size=e).astype(np.int32)
-    if sorted_rel:
-        rel = np.sort(rel)
-    w_msg = 0.1 * rng.standard_normal((u, d_in, d_out)).astype(np.float32)
-    w_self = 0.1 * rng.standard_normal((u, d_in, d_out)).astype(np.float32)
-    bias = 0.1 * rng.standard_normal((u, d_out)).astype(np.float32)
-    return h, src, dst, rel, w_msg, w_self, bias
+    w_msg = 0.1 * rng.standard_normal((u_pad, d_in, d_in)).astype(np.float32)
+    w_self = 0.1 * rng.standard_normal((u_pad, d_in, d_in)).astype(np.float32)
+    bias = 0.1 * rng.standard_normal((u_pad, d_in)).astype(np.float32)
+    return graph, h, w_msg, w_self, bias
+
+
+class TestGroupPaddedLayout:
+    def test_tiles_are_single_relation(self):
+        graph, *_ = make_case(0)
+        assert graph.group_pad == TILE
+        rel = graph.rel_ids.reshape(-1, TILE)
+        assert (rel == rel[:, :1]).all()
+        assert (np.diff(graph.rel_ids) >= 0).all()
+
+    def test_real_edges_preserved(self):
+        rng = np.random.default_rng(3)
+        n, e, u = 40, 333, 5
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        texts = [f"r{i}" for i in range(u)]
+        etexts = [texts[i] for i in rng.integers(0, u, e)]
+        plain = encode_graph(ei, etexts, n, sort_by_relation=True)
+        padded = encode_graph(
+            ei, etexts, n, sort_by_relation=True, group_pad=TILE
+        )
+        real_p = padded.edge_mask > 0
+        real_s = plain.edge_mask > 0
+        # Same multiset of (src, dst, rel) real edges, same relative order.
+        np.testing.assert_array_equal(padded.src[real_p], plain.src[real_s])
+        np.testing.assert_array_equal(padded.dst[real_p], plain.dst[real_s])
+        np.testing.assert_array_equal(
+            padded.rel_ids[real_p], plain.rel_ids[real_s]
+        )
+        assert padded.num_edges == e
+        assert padded.src.shape[0] % TILE == 0
 
 
 class TestEdgeTransformSorted:
     @pytest.mark.parametrize("seed", [0, 1])
     def test_matches_reference(self, seed):
-        h, src, dst, rel, w_msg, w_self, bias = make_case(seed)
-        x_src = jnp.asarray(h[src])
-        x_dst = jnp.asarray(h[dst])
+        graph, h, w_msg, w_self, bias = make_case(seed)
+        src, dst, rel = (
+            jnp.asarray(graph.src), jnp.asarray(graph.dst),
+            jnp.asarray(graph.rel_ids),
+        )
         got_msg, got_selfc = edge_transform_sorted(
-            x_src, x_dst, jnp.asarray(rel), jnp.asarray(w_msg),
-            jnp.asarray(w_self), jnp.asarray(bias), 128, INTERPRET,
+            jnp.asarray(h)[src], jnp.asarray(h)[dst], rel,
+            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+            TILE, INTERPRET,
         )
         want_msg, want_selfc = _edge_contributions_gather(
-            jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
+            jnp.asarray(h), src, dst, rel,
             jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
             jax.lax.Precision.HIGHEST,
         )
@@ -57,29 +102,20 @@ class TestEdgeTransformSorted:
             np.asarray(got_selfc), np.asarray(want_selfc), atol=1e-5, rtol=1e-5
         )
 
-    def test_ragged_edge_count(self):
-        """E not a multiple of the tile size pads internally."""
-        h, src, dst, rel, w_msg, w_self, bias = make_case(2, e=300)
-        got_msg, _ = edge_transform_sorted(
-            jnp.asarray(h[src]), jnp.asarray(h[dst]), jnp.asarray(rel),
-            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
-            128, INTERPRET,
-        )
-        assert got_msg.shape == (300, 16)
-
     def test_vjp_matches_reference(self):
-        h, src, dst, rel, w_msg, w_self, bias = make_case(3, e=256)
-        x_src = jnp.asarray(h[src])
-        x_dst = jnp.asarray(h[dst])
+        graph, h, w_msg, w_self, bias = make_case(3)
+        rel = jnp.asarray(graph.rel_ids)
+        mask = jnp.asarray(graph.edge_mask)
+        x_src = jnp.asarray(h)[jnp.asarray(graph.src)]
+        x_dst = jnp.asarray(h)[jnp.asarray(graph.dst)]
         args = (x_src, x_dst, jnp.asarray(w_msg), jnp.asarray(w_self),
                 jnp.asarray(bias))
 
         def loss_pallas(x_src, x_dst, w_msg, w_self, bias):
             m, s = edge_transform_sorted(
-                x_src, x_dst, jnp.asarray(rel), w_msg, w_self, bias,
-                128, INTERPRET,
+                x_src, x_dst, rel, w_msg, w_self, bias, TILE, INTERPRET,
             )
-            return jnp.sum(m * m) + jnp.sum(s)
+            return jnp.sum(m * m * mask[:, None]) + jnp.sum(s * mask[:, None])
 
         def loss_ref(x_src, x_dst, w_msg, w_self, bias):
             m = (
@@ -89,7 +125,7 @@ class TestEdgeTransformSorted:
             )
             s = jnp.einsum("ed,edo->eo", x_dst, w_self[rel],
                            precision=jax.lax.Precision.HIGHEST)
-            return jnp.sum(m * m) + jnp.sum(s)
+            return jnp.sum(m * m * mask[:, None]) + jnp.sum(s * mask[:, None])
 
         got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
         want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
@@ -99,22 +135,59 @@ class TestEdgeTransformSorted:
             )
 
 
-class TestEdgeContributionsPallas:
-    def test_unsorted_wrapper_matches(self):
-        h, src, dst, rel, w_msg, w_self, bias = make_case(4, sorted_rel=False)
-        got_msg, got_selfc = edge_contributions_pallas(
-            jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
-            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
-            tile_e=128, interpret=INTERPRET,
+class TestPallasBackendIntegration:
+    def test_message_passing_matches_gather_backend(self):
+        """Full layer through backend='pallas' (sort-plan routed gathers)
+        == the gather parity oracle, forward and backward."""
+        graph, h, w_msg, w_self, bias = make_case(5, plan=True)
+        arrays = (
+            jnp.asarray(graph.src), jnp.asarray(graph.dst),
+            jnp.asarray(graph.rel_ids), jnp.asarray(graph.edge_mask),
         )
-        want_msg, want_selfc = _edge_contributions_gather(
-            jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
-            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+        plan = jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
+        n = graph.num_nodes
+
+        def run(backend, use_plan):
+            def f(h, w_msg, w_self, bias):
+                out = relational_message_passing(
+                    h, arrays[0], arrays[1], arrays[2], w_msg, w_self, bias,
+                    num_nodes=n, edge_mask=arrays[3], backend=backend,
+                    rel_sorted=(backend == "pallas"),
+                    sort_plan=plan if use_plan else None,
+                )
+                return jnp.sum(out * out), out
+
+            (loss, out), grads = jax.value_and_grad(
+                f, argnums=(0, 1, 2, 3), has_aux=True
+            )(jnp.asarray(h), jnp.asarray(w_msg), jnp.asarray(w_self),
+              jnp.asarray(bias))
+            return out, grads
+
+        out_p, grads_p = run("pallas", True)
+        out_g, grads_g = run("gather", False)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_g), atol=1e-5, rtol=1e-5
+        )
+        for a, b in zip(grads_p, grads_g):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+            )
+
+    def test_sorted_entry_without_plan(self):
+        graph, h, w_msg, w_self, bias = make_case(6, plan=False)
+        got = edge_contributions_pallas_sorted(
+            jnp.asarray(h), jnp.asarray(graph.src), jnp.asarray(graph.dst),
+            jnp.asarray(graph.rel_ids), jnp.asarray(w_msg),
+            jnp.asarray(w_self), jnp.asarray(bias), interpret=INTERPRET,
+            tile_e=TILE,
+        )
+        want = _edge_contributions_gather(
+            jnp.asarray(h), jnp.asarray(graph.src), jnp.asarray(graph.dst),
+            jnp.asarray(graph.rel_ids), jnp.asarray(w_msg),
+            jnp.asarray(w_self), jnp.asarray(bias),
             jax.lax.Precision.HIGHEST,
         )
-        np.testing.assert_allclose(
-            np.asarray(got_msg), np.asarray(want_msg), atol=1e-5, rtol=1e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(got_selfc), np.asarray(want_selfc), atol=1e-5, rtol=1e-5
-        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
+            )
