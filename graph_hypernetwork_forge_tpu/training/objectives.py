@@ -87,11 +87,13 @@ def link_prediction_loss_sorted(
     """Sort-free margin-ranking loss over all positives.
 
     Numerically the same objective as :func:`link_prediction_loss` with
-    negatives formed by *permuting the positive tails* — the reference's
-    actual negative-sampling scheme (``demo.py:93`` uses ``torch.randperm``
-    over dst), here realized as a uniform random rotation ``dst[(i + k) %
-    E]`` so the whole loss (forward AND backward) lowers without a single
-    device sort:
+    negatives formed by *permuting the positive tails* — the corrupted-tail
+    family the reference draws from (``demo.py:93`` uses ``torch.randperm``
+    over dst). Here the permutation is a single random rotation ``dst[(i +
+    k) % E]`` per step: one member of that family, NOT uniform over all E!
+    permutations (all pairs share the shift, so within-step negatives are
+    correlated). The payoff is that the whole loss (forward AND backward)
+    lowers without a single device sort:
 
     - the ``embs[src]`` / ``embs[dst]`` gathers route their cotangents
       through the :class:`SortPlan` permutations

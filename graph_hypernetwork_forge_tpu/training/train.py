@@ -69,11 +69,14 @@ def make_train_step(
     8 GB at E=16.7M, d=64); the subsampled estimator keeps the loss
     unbiased over masked edges.
 
-    ``neg_mode="roll"``: negatives are the positive tails under a random
-    rotation — a true permutation of dst like the reference's ``randperm``
-    (``demo.py:93``) — and the whole loss lowers sort-free through the
-    graph's :class:`SortPlan` (which must then be passed to the step).
-    Requires full positives (``num_pos_samples=None``).
+    ``neg_mode="roll"``: negatives are the positive tails under ONE random
+    rotation per step — a member of the permutation family the reference
+    draws from (``torch.randperm`` over dst, ``demo.py:93``), but NOT
+    uniform over all E! permutations: every pair shares the step's single
+    shift, so negatives are correlated within a step. In exchange the
+    whole loss lowers sort-free through the graph's :class:`SortPlan`
+    (which must then be passed to the step). Requires full positives
+    (``num_pos_samples=None``).
 
     ``num_negatives``: K > 1 draws K uniform corrupted tails per positive
     and averages the hinge over them (:func:`multi_negative_loss`) — the

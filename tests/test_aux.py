@@ -96,6 +96,33 @@ class TestCheckpoint:
         save_checkpoint(str(tmp_path), params, step=2)
         assert latest_checkpoint(str(tmp_path)) == p10
 
+    def test_async_saves_overlap_then_commit(self, tmp_path):
+        """Queue several saves WITHOUT waiting (training would overlap
+        them); the explicit barrier makes all of them durable, and the
+        latest restores bit-exact."""
+        import jax.numpy as jnp
+
+        from graph_hypernetwork_forge_tpu.training.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+            save_checkpoint,
+            wait_for_checkpoints,
+        )
+
+        w = jnp.arange(512 * 512, dtype=jnp.float32).reshape(512, 512)
+        paths = [
+            save_checkpoint(str(tmp_path), {"w": w * s}, step=s)
+            for s in (1, 2, 3)  # returns immediately; writes run in bg
+        ]
+        wait_for_checkpoints()
+        assert latest_checkpoint(str(tmp_path)) == paths[-1]
+        restored = restore_checkpoint(
+            paths[-1], {"w": jnp.zeros((512, 512), jnp.float32)}
+        )
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["w"]), np.asarray(w * 3)
+        )
+
 
 class TestMetrics:
     def test_history_and_jsonl(self, tmp_path):
