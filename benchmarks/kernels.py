@@ -158,7 +158,14 @@ def run(name, n, e, u, d, reps=5, with_bwd=False):
                 h[src], h[dst], rel, w_msg, w_self, bias
             )
 
-        got = bench(pallas_fn, "pallas")
+        got = bench(pallas_fn, "pallas")  # precision=highest (parity mode)
+
+        def pallas_bf16_fn(h, src, dst, rel, w_msg, w_self, bias):
+            return edge_transform_sorted(
+                h[src], h[dst], rel, w_msg, w_self, bias, 256, False, None
+            )
+
+        bench(pallas_bf16_fn, "pallas-bf16")
     if got is not None:
         err = float(
             jnp.max(jnp.abs(got[0] - ref[0])) + jnp.max(jnp.abs(got[1] - ref[1]))

@@ -447,7 +447,7 @@ def relational_message_passing(
 
         msg, self_contrib = edge_contributions_pallas_sorted(
             h, src, dst, rel_ids, w_msg, w_self, bias, sort_plan=sort_plan,
-            interpret=jax.default_backend() != "tpu",
+            interpret=jax.default_backend() != "tpu", precision=precision,
         )
     elif chosen == "dense":
         msg, self_contrib = _edge_contributions_dense(
