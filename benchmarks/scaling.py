@@ -71,8 +71,18 @@ def run_config(name, n, e, u, d, ref):
     # T(8,128) layout padding), so the xxl config runs rel_sorted without a
     # plan — in-jit segment sums, bounded memory.
     with_plan = e <= 2_000_000
+    # d % 128 == 0: group-pad the layout so auto picks the streaming Pallas
+    # kernel (measured 1.4-1.7x over ragged_dot on the contribution stage).
+    group_pad = 0
+    if d % 128 == 0:
+        from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
+            GROUP_PAD,
+        )
+
+        group_pad = GROUP_PAD
     graph = encode_graph(
-        ei, etexts, n, sort_by_relation=True, with_sort_plan=with_plan
+        ei, etexts, n, sort_by_relation=True, with_sort_plan=with_plan,
+        group_pad=group_pad,
     )
     arrays = tuple(jnp.asarray(a) for a in graph.arrays)
     plan = (
@@ -82,7 +92,7 @@ def run_config(name, n, e, u, d, ref):
 
     config = HyperGNNConfig(
         text_dim=64, node_feat_dim=d, hidden_dim=d, num_layers=2,
-        rel_sorted=True,
+        rel_sorted=True, group_padded=group_pad > 0,
     )
     if e > 2_000_000:
         # Wikidata5M scale: the grouped ragged backend + per-layer remat

@@ -169,19 +169,21 @@ def validate_graph_for_config(graph: EncodedGraph, config) -> None:
             "layout — build the graph with "
             "encode_graph(..., sort_by_relation=True)"
         )
-    if getattr(config, "backend", None) == "pallas":
+    if getattr(config, "backend", None) == "pallas" or getattr(
+        config, "group_padded", False
+    ):
         from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
             GROUP_PAD,
         )
 
         if not graph.group_pad or graph.group_pad % GROUP_PAD:
             raise ValueError(
-                "backend='pallas' requires the group-padded sorted edge "
-                "layout with the kernel tile dividing the pad — build the "
-                f"graph with encode_graph(..., sort_by_relation=True, "
-                f"group_pad={GROUP_PAD}) (got group_pad={graph.group_pad}); "
-                "merely-sorted edges would silently apply a tile's first "
-                "relation to all its rows"
+                "backend='pallas' / group_padded=True requires the "
+                "group-padded sorted edge layout with the kernel tile "
+                "dividing the pad — build the graph with encode_graph(..., "
+                f"sort_by_relation=True, group_pad={GROUP_PAD}) (got "
+                f"group_pad={graph.group_pad}); merely-sorted edges would "
+                "silently apply a tile's first relation to all its rows"
             )
     plan = graph.sort_plan
     if plan is not None and plan.dst_perm.shape != graph.dst.shape:

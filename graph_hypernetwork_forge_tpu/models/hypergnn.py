@@ -83,6 +83,12 @@ class HyperGNNConfig:
     # (``encode_graph(sort_by_relation=True)``); lets the grouped backend
     # skip two device sorts per layer. WRONG RESULTS if edges are unsorted.
     rel_sorted: bool = False
+    # Promise that each relation group is additionally padded to the Pallas
+    # tile multiple (``encode_graph(..., group_pad=GROUP_PAD)``); with
+    # rel_sorted it lets ``backend="auto"`` pick the streaming Pallas kernel
+    # at d % 128 == 0 on TPU (measured 1.4-1.7x over grouped at d=128,
+    # f32-exact). WRONG RESULTS if the layout is not group-padded.
+    group_padded: bool = False
 
     def __post_init__(self):
         if self.num_layers < 1:
@@ -183,6 +189,7 @@ def apply_hypergnn(
             precision=prec,
             rel_sorted=config.rel_sorted,
             sort_plan=sort_plan,
+            group_padded=config.group_padded,
         )
         h_new = h_new + h  # residual (always shape-compatible: hidden→hidden)
         h_new = jax.nn.relu(h_new)

@@ -67,6 +67,10 @@ class HaloPlan:
     nodes_per_shard: int
     halo_width: int         # B (padded max boundary rows per device pair)
     num_shards: int
+    # True (unpadded) unique boundary rows per (owner i, consumer j) pair;
+    # the wire moves the padded max B for every pair, so
+    # B·k·(k-1) / pair_widths.sum() is the skew-induced padding factor.
+    pair_widths: np.ndarray = None  # [k, k] int64
 
     @property
     def edge_arrays(self) -> Tuple[np.ndarray, ...]:
@@ -91,6 +95,7 @@ def build_halo_plan(
     # Pass 1: unique remote rows each consumer j needs from each owner i.
     needed = {}
     width = 0
+    pair_widths = np.zeros((k, k), dtype=np.int64)
     for j in range(k):
         sl = slice(j * cap, (j + 1) * cap)
         s = np.asarray(src_p[sl], dtype=np.int64)
@@ -101,6 +106,7 @@ def build_halo_plan(
                 continue
             rows = np.unique(s[real & (owner == i)]) - i * npp
             needed[(i, j)] = rows.astype(np.int64)
+            pair_widths[i, j] = rows.size
             width = max(width, rows.size)
     b = round_up_to_multiple(max(width, 1), 8)
 
@@ -135,12 +141,31 @@ def build_halo_plan(
         nodes_per_shard=npp,
         halo_width=b,
         num_shards=k,
+        pair_widths=pair_widths,
     )
 
 
 def halo_bytes_per_device(plan: HaloPlan, d: int, itemsize: int = 4) -> int:
-    """Interconnect bytes each device SENDS per exchange (excl. self-block)."""
+    """Interconnect bytes each device SENDS per exchange (excl. self-block).
+
+    This is the PADDED wire volume: every pair's block is padded to the max
+    boundary B, so a skewed graph inflates it — see
+    :func:`halo_padding_factor` for the skew-induced overhead and
+    ``plan.pair_widths`` for the true per-pair widths.
+    """
     return (plan.num_shards - 1) * plan.halo_width * d * itemsize
+
+
+def halo_true_bytes_per_device(plan: HaloPlan, d: int, itemsize: int = 4) -> float:
+    """Average UNPADDED bytes per device per exchange (unique boundary rows)."""
+    return float(plan.pair_widths.sum()) / plan.num_shards * d * itemsize
+
+
+def halo_padding_factor(plan: HaloPlan) -> float:
+    """Padded / true wire volume (1.0 = no skew-induced padding waste)."""
+    true = float(plan.pair_widths.sum())
+    padded = float(plan.num_shards * (plan.num_shards - 1) * plan.halo_width)
+    return padded / max(true, 1.0)
 
 
 def allgather_bytes_per_device(plan: HaloPlan, d: int, itemsize: int = 4) -> int:

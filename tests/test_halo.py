@@ -180,3 +180,47 @@ class TestHaloVolume:
             plan.nodes_per_shard, plan.halo_width,
         ))
         np.testing.assert_allclose(got[perm], want, atol=1e-5, rtol=1e-5)
+
+
+@needs_multidevice
+class TestSkewedHaloVolume:
+    def test_padding_factor_reported_on_skewed_graph(self):
+        """Skewed (scale-free-ish hub) graphs inflate the max-over-pairs
+        padded wire volume; pair_widths exposes the true volume and the
+        padding factor quantifies the overhead honestly. Even with the
+        padding, the halo must beat the dense all_gather on a
+        locality-relabeled clustered graph with hubs."""
+        from graph_hypernetwork_forge_tpu.parallel.halo import (
+            halo_padding_factor,
+            halo_true_bytes_per_device,
+        )
+
+        rng = np.random.default_rng(7)
+        # Clustered base + a few global hubs every cluster reads from:
+        # the hub owner's boundary is huge, every other pair's is small.
+        n, e, u = 512, 4000, 4
+        clusters, csize = 8, 64
+        c = rng.integers(0, clusters, e)
+        src = c * csize + rng.integers(0, csize, e)
+        hub = rng.random(e) < 0.1
+        src = np.where(hub, rng.integers(0, 8, e), src)  # hubs live on dev 0
+        dst = c * csize + rng.integers(0, csize, e)
+        rel = rng.integers(0, u, e).astype(np.int32)
+        mask = np.ones(e, dtype=np.float32)
+
+        perm = locality_relabel(src, dst, n)
+        plan = build_halo_plan(perm[src], perm[dst], rel, mask, n, 8)
+
+        d = 16
+        factor = halo_padding_factor(plan)
+        assert factor >= 1.0
+        assert (
+            halo_true_bytes_per_device(plan, d)
+            <= halo_bytes_per_device(plan, d)
+        )
+        # Hub skew: one hot owner pads every pair — factor well above 1.
+        assert factor > 1.5, factor
+        # Still beats shipping all rows to everyone.
+        assert halo_bytes_per_device(plan, d) < allgather_bytes_per_device(
+            plan, d
+        ), (plan.pair_widths, plan.halo_width)

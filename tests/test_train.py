@@ -125,3 +125,58 @@ class TestMultiNegative:
             make_train_step(
                 config, optimizer, num_negatives=4, neg_mode="roll"
             )
+
+
+def test_zero_shot_mrr_regression_floor():
+    """Quality floor: a 200-step multi-negative run on the tiny synthetic
+    KG must reach filtered MRR >= 0.06 (measured 0.105-0.117 across init
+    seeds at this fixed data seed; the floor is ~55% of the min, so only a
+    real training/objective/eval regression trips it). Guards the
+    zero-shot pipeline end to end: text -> generated weights -> message
+    passing -> ranking (reference objective demo.py:79-98)."""
+    import optax
+
+    from graph_hypernetwork_forge_tpu.data.datasets import (
+        generate_synthetic_kg,
+    )
+    from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
+    from graph_hypernetwork_forge_tpu.models.hypergnn import (
+        HyperGNNConfig,
+        apply_hypergnn,
+        init_hypergnn,
+    )
+    from graph_hypernetwork_forge_tpu.training.evaluate import (
+        evaluate_link_prediction,
+    )
+    from graph_hypernetwork_forge_tpu.training.train import make_train_step
+
+    kg = generate_synthetic_kg(200, 1000, 12, seed=0, zero_shot_fraction=0.2)
+    train_ei, train_texts = kg.split_edges("train")
+    test_ei, _ = kg.split_edges("test")
+    graph = encode_graph(
+        train_ei, train_texts, kg.num_nodes, sort_by_relation=True
+    )
+    config = HyperGNNConfig(
+        text_dim=32, node_feat_dim=64, hidden_dim=32, num_layers=2,
+        rel_sorted=True,
+    )
+    params = init_hypergnn(config, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(config, opt, num_negatives=8)
+    feats = jnp.asarray(kg.node_features)
+    arrays = tuple(jnp.asarray(a) for a in graph.arrays)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(200):
+        rng, sr = jax.random.split(rng)
+        params, opt_state, _ = step(params, opt_state, feats, *arrays, sr)
+    full = encode_graph(
+        kg.edge_index, kg.edge_texts, kg.num_nodes, sort_by_relation=True
+    )
+    embs = apply_hypergnn(
+        config, params, feats, *(jnp.asarray(a) for a in full.arrays)
+    )
+    m = evaluate_link_prediction(
+        embs, test_ei[0], test_ei[1], filter_edges=kg.edge_index
+    )
+    assert m["mrr"] >= 0.06, m
