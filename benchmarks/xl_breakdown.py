@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Decompose the xl (N=50k, E=1M, U=237, d=64) train-step time by stage.
+
+The full fwd+bwd step measured 293 ms (benchmarks/scaling.py); this
+microbench times each pipeline stage in isolation — scan-fused K
+iterations per program with a carry perturbation to defeat CSE, host fetch
+as the only reliable sync on this stack — so optimization effort goes to
+the real bottleneck instead of a guess.
+
+Stages: relation-grouped contributions (ragged_dot fwd / fwd+bwd with the
+custom VJP), the sort-free gathers (take_rows_sorted fwd / fwd+bwd), the
+sorted-hint aggregation tail, the rolled-negative loss, and the end-to-end
+fwd / fwd+bwd for reference.
+
+Prints one JSON line per stage.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, ".")
+
+from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
+from graph_hypernetwork_forge_tpu.models.hypergnn import (
+    HyperGNNConfig,
+    apply_hypergnn,
+    init_hypergnn,
+)
+from graph_hypernetwork_forge_tpu.ops.message_passing import (
+    _edge_contributions_grouped,
+)
+from graph_hypernetwork_forge_tpu.ops.segment import (
+    sorted_segment_sum_by_plan,
+    take_rows_sorted,
+)
+from graph_hypernetwork_forge_tpu.training.train import make_train_step
+
+N, E, U, D = 50_000, 1_000_000, 237, 64
+K = 10
+REPS = 3
+
+
+def bench(label, fn, *args):
+    def prog(*a):
+        def body(c, _):
+            out = fn(c, *a)
+            return jnp.sum(out) * 1e-20, jnp.sum(out)
+
+        _, ys = jax.lax.scan(body, jnp.float32(0.0), length=K)
+        return ys
+
+    g = jax.jit(prog)
+    np.asarray(g(*args))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        np.asarray(g(*args))
+    dt = (time.perf_counter() - t0) / (REPS * K)
+    print(json.dumps({"stage": label, "ms": round(dt * 1e3, 3)}), flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    ei = np.stack([rng.integers(0, N, E), rng.integers(0, N, E)]).astype(
+        np.int64
+    )
+    texts = [f"relation type number {i} with descriptive text" for i in range(U)]
+    etexts = [texts[i] for i in rng.integers(0, U, E)]
+    graph = encode_graph(
+        ei, etexts, N, sort_by_relation=True, with_sort_plan=True
+    )
+    arrays = tuple(jnp.asarray(a) for a in graph.arrays)
+    src, dst, rel, mask = arrays[:4]
+    plan = jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
+    u_pad = graph.char_ids.shape[0]
+    h = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    w_msg = jnp.asarray(
+        0.01 * rng.standard_normal((u_pad, D, D)).astype(np.float32)
+    )
+    w_self = jnp.asarray(
+        0.01 * rng.standard_normal((u_pad, D, D)).astype(np.float32)
+    )
+    bias = jnp.asarray(0.01 * rng.standard_normal((u_pad, D)).astype(np.float32))
+    x_edge = jnp.asarray(
+        rng.standard_normal((src.shape[0], 2 * D)).astype(np.float32)
+    )
+
+    # 1. Contributions: ragged_dot fwd and fwd+bwd (custom VJP).
+    def contrib(c, h, w_msg, w_self, bias):
+        m, s = _edge_contributions_grouped(
+            h + c, src, dst, rel, w_msg, w_self, bias,
+            jax.lax.Precision.HIGHEST, rel_sorted=True, sort_plan=plan,
+        )
+        return jnp.sum(m) + jnp.sum(s)
+
+    bench("contrib_fwd", lambda c, *a: contrib(c, *a), h, w_msg, w_self, bias)
+
+    def contrib_grad(c, h, w_msg, w_self, bias):
+        g = jax.grad(contrib, argnums=(1, 2, 3, 4))(c, h, w_msg, w_self, bias)
+        return sum(jnp.sum(x) for x in g)
+
+    bench("contrib_fwd_bwd", contrib_grad, h, w_msg, w_self, bias)
+
+    # 2. Sort-free gather (take_rows_sorted) fwd and fwd+bwd.
+    def take(c, h):
+        return jnp.sum(
+            take_rows_sorted(N, h + c, src, plan.src_perm, plan.src_sorted)
+        )
+
+    bench("take_rows_fwd", take, h)
+    bench("take_rows_fwd_bwd", lambda c, h: jnp.sum(jax.grad(take, 1)(c, h)), h)
+
+    # 3. Aggregation tail: sorted-hint [E, 2d] segment sum fwd and fwd+bwd.
+    def tail(c, x):
+        return jnp.sum(
+            sorted_segment_sum_by_plan(
+                x + c, plan.dst_perm, plan.inv_dst_perm, plan.dst_sorted, N
+            )
+        )
+
+    bench("agg_tail_fwd", tail, x_edge)
+    bench("agg_tail_fwd_bwd", lambda c, x: jnp.sum(jax.grad(tail, 1)(c, x)), x_edge)
+
+    # 4. End-to-end model fwd and full train step.
+    config = HyperGNNConfig(
+        text_dim=64, node_feat_dim=D, hidden_dim=D, num_layers=2,
+        rel_sorted=True,
+    )
+    params = init_hypergnn(config, jax.random.PRNGKey(0))
+
+    def fwd(c, feats):
+        return jnp.sum(
+            apply_hypergnn(
+                config, params, feats + c, *arrays, sort_plan=plan
+            )
+        )
+
+    bench("model_fwd", fwd, feats)
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(config, optimizer, neg_mode="roll")
+
+    # Full step (not scan-fused: donation; time with per-call fetch).
+    p, o = params, opt_state
+    r = jax.random.PRNGKey(1)
+    p, o, loss = step(p, o, feats, *arrays, r, sort_plan=plan)
+    float(loss)
+    steps = 5
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        r, sr = jax.random.split(r)
+        p, o, loss = step(p, o, feats, *arrays, sr, sort_plan=plan)
+        float(loss)
+    print(json.dumps({
+        "stage": "full_step_fwd_bwd_adam",
+        "ms": round(1e3 * (time.perf_counter() - t0) / steps, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
