@@ -90,9 +90,14 @@ def run_config(name, n, e, u, d, ref):
         if with_plan else None
     )
 
+    import os
+
     config = HyperGNNConfig(
         text_dim=64, node_feat_dim=d, hidden_dim=d, num_layers=2,
         rel_sorted=True, group_padded=group_pad > 0,
+        backend=os.environ.get("GHF_SCALING_BACKEND", "auto"),
+        # "default" = bf16-class MXU speed mode (parity runs use "highest").
+        precision=os.environ.get("GHF_SCALING_PRECISION", "highest"),
     )
     if e > 2_000_000:
         # Wikidata5M scale: the grouped ragged backend + per-layer remat
