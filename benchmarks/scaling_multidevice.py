@@ -139,16 +139,25 @@ def main():
     host_cores = os.cpu_count()
 
     results = {}
-    for halo in (False, True):
-        variant = "halo" if halo else "dense"
+    for variant, halo, contrib in (
+        ("dense", False, "dense"),
+        ("halo", True, "dense"),
+        # Production path at large U: per-device ragged_dot over each
+        # shard's rel-sorted slice — O(E/k · d²) instead of O(npp·2U·d²).
+        ("halo-grouped", True, "grouped"),
+    ):
         base_eps = base_flops = None
         for k in (1, 2, 4, 8):
             mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
-            inputs = prepare_composed_inputs(graph, feats, k, halo=halo)
+            inputs = prepare_composed_inputs(
+                graph, feats, k, halo=halo,
+                rel_sort_local=contrib == "grouped",
+            )
             step = make_composed_train_step(
                 mesh, config, optimizer, inputs.nodes_per_shard,
                 num_nodes=inputs.num_nodes,
                 halo_width=inputs.halo_width if halo else None,
+                contrib=contrib,
             )
             arrays = tuple(
                 jnp.asarray(a) for a in (
@@ -161,6 +170,10 @@ def main():
                 kwargs = dict(
                     src_halo=jnp.asarray(inputs.src_halo),
                     send_idx=jnp.asarray(inputs.send_idx),
+                )
+            if contrib == "grouped":
+                kwargs["rel_group_sizes"] = jnp.asarray(
+                    inputs.rel_group_sizes
                 )
             params = jax.tree_util.tree_map(jnp.asarray, base_params)
             opt_state = optimizer.init(params)
@@ -221,6 +234,12 @@ def main():
         "halo_flop_efficiency_8dev": results[("halo", 8)][
             "flop_efficiency_vs_1dev"
         ],
+        "halo_grouped_flop_efficiency_4dev": results[("halo-grouped", 4)][
+            "flop_efficiency_vs_1dev"
+        ],
+        "halo_grouped_flops_per_device_4dev": results[("halo-grouped", 4)][
+            "flops_per_device"
+        ],
         "exchange_bytes_halo_vs_dense_4dev": round(
             halo_bytes_per_device(plan, D)
             / allgather_bytes_per_device(plan, D), 4,
@@ -229,7 +248,13 @@ def main():
         "note": (
             "wall-clock on a virtual CPU mesh is bounded by host cores "
             f"({host_cores} here); flops_per_device is the structural "
-            "scaling metric real multi-chip hardware follows"
+            "scaling metric real multi-chip hardware follows. Caveat for "
+            "the halo-grouped variant: XLA:CPU lowers ragged_dot to a "
+            "dense-expanded form, inflating its ABSOLUTE per-device flops "
+            "~8x on this CPU mesh — on TPU it is the mosaic grouped-matmul "
+            "custom call (benchmarks/results/kernels_r3.json measures the "
+            "real contribution-stage costs on chip); the EFFICIENCY "
+            "column (division with k) is the meaningful number for it"
         ),
     }
     print(json.dumps(summary))

@@ -81,10 +81,15 @@ class ComposedInputs:
     src_halo: Optional[np.ndarray] = None   # [k * cap] local++halo indices
     send_idx: Optional[np.ndarray] = None   # [k, k, B]
     halo_width: int = 0
+    # Per-shard ragged group sizes [k, U_pad] when each shard's edge slice
+    # is relation-sorted (``rel_sort_local=True``) — enables the grouped
+    # (ragged_dot) contribution backend in the composed step.
+    rel_group_sizes: Optional[np.ndarray] = None
 
 
 def prepare_composed_inputs(
-    graph: EncodedGraph, node_features, num_shards: int, *, halo: bool = True
+    graph: EncodedGraph, node_features, num_shards: int, *, halo: bool = True,
+    rel_sort_local: bool = False,
 ) -> ComposedInputs:
     """Partition a graph + features for :func:`make_composed_train_step`.
 
@@ -96,6 +101,12 @@ def prepare_composed_inputs(
     the full gathered ``[N_pad, d]``: the per-layer compute actually
     divides by the mesh size. ``halo=False`` keeps the dense-boundary v1
     (full-``h`` all_gather per layer, replicated relation product).
+
+    ``rel_sort_local=True`` additionally stable-sorts each shard's edge
+    slice by relation id and precomputes per-shard ragged group sizes
+    (``rel_group_sizes [k, U_pad]``) — the layout the composed step's
+    ``contrib="grouped"`` backend needs. Aggregation is edge-order
+    invariant within a shard, so all other plan arrays stay valid.
     """
     feats = np.asarray(node_features, dtype=np.float32)
     n = graph.num_nodes
@@ -129,6 +140,26 @@ def prepare_composed_inputs(
     char_ids[: graph.char_ids.shape[0]] = graph.char_ids
     lengths[: graph.text_lengths.shape[0]] = graph.text_lengths
 
+    rel_group_sizes = None
+    if rel_sort_local:
+        # Stable-sort each shard's slice by relation id (padded rows carry
+        # rel 0 / mask 0 and sort into group 0 — their ragged rows compute
+        # masked garbage, exactly like the single-device grouped backend).
+        cap = src.shape[0] // num_shards
+        src = np.array(src)
+        dst = np.array(dst)
+        rel = np.array(rel)
+        mask = np.array(mask)
+        sh = None if src_halo is None else np.array(src_halo)
+        rel_group_sizes = np.zeros((num_shards, u_pad), dtype=np.int32)
+        for j in range(num_shards):
+            sl = slice(j * cap, (j + 1) * cap)
+            order = np.argsort(rel[sl], kind="stable")
+            for arr in (src, dst, rel, mask) + (() if sh is None else (sh,)):
+                arr[sl] = arr[sl][order]
+            rel_group_sizes[j] = np.bincount(rel[sl], minlength=u_pad)
+        src_halo = sh
+
     return ComposedInputs(
         feats=feats,
         src=src,
@@ -142,6 +173,7 @@ def prepare_composed_inputs(
         src_halo=src_halo,
         send_idx=send_idx,
         halo_width=halo_width,
+        rel_group_sizes=rel_group_sizes,
     )
 
 
@@ -156,6 +188,7 @@ def make_composed_train_step(
     num_nodes: Optional[int] = None,
     halo_width: Optional[int] = None,
     neg_mode: Optional[str] = None,
+    contrib: str = "dense",
 ):
     """Jitted fully-sharded train step (fwd + bwd + Adam) on one mesh axis.
 
@@ -189,6 +222,16 @@ def make_composed_train_step(
       random nodes; scoring assembles the full embedding matrix with one
       ``all_gather`` (O(N·d) wire bytes per device per step — fine on a
       handful of chips, the scaling bottleneck beyond that).
+
+    ``contrib`` selects the per-device contribution backend:
+
+    - ``"dense"``: the all-relations product over the local+halo rows —
+      O((npp + k·B)·2U·d²) per-device FLOPs; right when U·npp ≈ E/k.
+    - ``"grouped"``: relation-grouped ``ragged_dot`` over the shard's
+      relation-sorted edge slice — O((E/k)·d²) per-device FLOPs, the
+      production path at large U. Requires
+      ``prepare_composed_inputs(rel_sort_local=True)`` and its
+      ``rel_group_sizes`` passed to the step.
     """
     import optax
 
@@ -203,9 +246,11 @@ def make_composed_train_step(
             "neg_mode='local_roll' requires halo mode (halo_width set): "
             "local scoring reuses the halo plan's boundary exchange"
         )
+    if contrib not in ("dense", "grouped"):
+        raise ValueError(f"unknown contrib backend: {contrib!r}")
 
     def forward_local(params, feats_l, src_l, dst_l, rel_l, mask_l,
-                      chars_l, lens_l, send_l, drop_rng):
+                      chars_l, lens_l, send_l, gs_l, drop_rng):
         """Per-device forward over the local node/edge/relation shards.
 
         Runs INSIDE shard_map: ``feats_l [npp, F]``, edge arrays are the
@@ -265,15 +310,34 @@ def make_composed_train_step(
                 # is addressable (replicates the relation product below).
                 rows = jax.lax.all_gather(h_local, axis, tiled=True)
                 src_rows = src_l
-            hw = jnp.einsum(
-                "nd,udo->uno", rows,
-                jnp.concatenate([w["W_msg"], w["W_self"]]),
-                precision=prec,
-            )
-            u = w["W_msg"].shape[0]
-            msg = (hw[rel_l, src_rows] + w["bias"][rel_l]) * mask_l[:, None]
             self_rows = local_dst if use_halo else dst_l
-            selfc = hw[rel_l + u, self_rows] * mask_l[:, None]
+            if contrib == "grouped":
+                # Relation-grouped ragged matmul over this shard's
+                # rel-sorted edge slice: O((E/k)·d²) per-device FLOPs.
+                from graph_hypernetwork_forge_tpu.ops.message_passing import (
+                    _ragged_transform,
+                )
+
+                gs = gs_l[0]
+                msg = (
+                    _ragged_transform(rows[src_rows], w["W_msg"], gs, prec)
+                    + w["bias"][rel_l]
+                ) * mask_l[:, None]
+                selfc = (
+                    _ragged_transform(rows[self_rows], w["W_self"], gs, prec)
+                    * mask_l[:, None]
+                )
+            else:
+                hw = jnp.einsum(
+                    "nd,udo->uno", rows,
+                    jnp.concatenate([w["W_msg"], w["W_self"]]),
+                    precision=prec,
+                )
+                u = w["W_msg"].shape[0]
+                msg = (
+                    hw[rel_l, src_rows] + w["bias"][rel_l]
+                ) * mask_l[:, None]
+                selfc = hw[rel_l + u, self_rows] * mask_l[:, None]
             agg = jax.ops.segment_sum(msg, local_dst, num_segments=nodes_per_shard)
             selft = jax.ops.segment_sum(
                 selfc, local_dst, num_segments=nodes_per_shard
@@ -304,6 +368,7 @@ def make_composed_train_step(
             P(axis, None), P(axis),              # relations sharded
             P(axis),        # src for layers (global or local++halo remapped)
             P(axis, None, None),                 # send_idx by owner (halo)
+            P(axis, None),  # per-shard ragged group sizes (grouped contrib)
             P(axis),        # neg_dst: edge-sharded
             P(),            # dropout rng (replicated; folded per device)
         ),
@@ -311,11 +376,11 @@ def make_composed_train_step(
         check_vma=False,
     )
     def _loss_shard_global(params, feats_l, src_l, dst_l, rel_l, mask_l,
-                           chars_l, lens_l, src_layers_l, send_l, neg_l,
-                           drop_rng):
+                           chars_l, lens_l, src_layers_l, send_l, gs_l,
+                           neg_l, drop_rng):
         h_local = forward_local(
             params, feats_l, src_layers_l, dst_l, rel_l, mask_l, chars_l,
-            lens_l, send_l, drop_rng,
+            lens_l, send_l, gs_l, drop_rng,
         )
         # Scoring needs arbitrary rows: assemble the full embeddings once.
         embs = jax.lax.all_gather(h_local, axis, tiled=True)
@@ -337,6 +402,7 @@ def make_composed_train_step(
             P(axis), P(axis), P(axis), P(axis),  # edges (src = local++halo)
             P(axis, None), P(axis),              # relations sharded
             P(axis, None, None),                 # send_idx by owner
+            P(axis, None),  # per-shard ragged group sizes (grouped contrib)
             P(),            # negative rng (replicated; folded per device)
             P(),            # dropout rng (replicated; folded per device)
         ),
@@ -344,10 +410,10 @@ def make_composed_train_step(
         check_vma=False,
     )
     def _loss_shard_local(params, feats_l, srch_l, dst_l, rel_l, mask_l,
-                          chars_l, lens_l, send_l, neg_rng, drop_rng):
+                          chars_l, lens_l, send_l, gs_l, neg_rng, drop_rng):
         h_local = forward_local(
             params, feats_l, srch_l, dst_l, rel_l, mask_l, chars_l,
-            lens_l, send_l, drop_rng,
+            lens_l, send_l, gs_l, drop_rng,
         )
         my_idx = jax.lax.axis_index(axis)
         k = send_l.shape[1]
@@ -383,7 +449,7 @@ def make_composed_train_step(
 
     @jax.jit
     def step(params, opt_state, feats, src, dst, rel, mask, chars, lens,
-             rng, src_halo=None, send_idx=None):
+             rng, src_halo=None, send_idx=None, rel_group_sizes=None):
         neg_rng, drop_rng = jax.random.split(rng)
         if config.dropout <= 0.0:
             drop_rng = None
@@ -398,12 +464,21 @@ def make_composed_train_step(
             src_layers = src
             k = mesh.shape[axis]
             send_idx = jnp.zeros((k, k, 1), dtype=jnp.int32)  # inert
+        if contrib == "grouped":
+            if rel_group_sizes is None:
+                raise ValueError(
+                    "contrib='grouped' needs rel_group_sizes "
+                    "(prepare_composed_inputs(rel_sort_local=True))"
+                )
+        elif rel_group_sizes is None:
+            k = mesh.shape[axis]
+            rel_group_sizes = jnp.zeros((k, 1), dtype=jnp.int32)  # inert
 
         if neg_mode == "local_roll":
             def loss_fn(p):
                 return _loss_shard_local(
                     p, feats, src_halo, dst, rel, mask, chars, lens,
-                    send_idx, neg_rng, drop_rng
+                    send_idx, rel_group_sizes, neg_rng, drop_rng
                 )
         else:
             neg_dst = jax.random.randint(
@@ -415,7 +490,7 @@ def make_composed_train_step(
             def loss_fn(p):
                 return _loss_shard_global(
                     p, feats, src, dst, rel, mask, chars, lens, src_layers,
-                    send_idx, neg_dst, drop_rng
+                    send_idx, rel_group_sizes, neg_dst, drop_rng
                 )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

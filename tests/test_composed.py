@@ -273,6 +273,78 @@ def test_composed_local_scoring_matches_oracle():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_composed_grouped_contrib_matches_oracle():
+    """contrib='grouped' (per-device ragged_dot over the shard's
+    rel-sorted slice — O(E/k · d²) per device instead of the dense
+    O(npp·2U·d²) relation product) computes the identical loss and
+    post-Adam params as the single-device oracle."""
+    graph, feats, config, params = _setup(seed=12)
+    k = 4
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    inputs = prepare_composed_inputs(
+        graph, feats, k, halo=True, rel_sort_local=True
+    )
+    assert inputs.rel_group_sizes is not None
+    cap = inputs.src.shape[0] // k
+    for j in range(k):
+        sl = slice(j * cap, (j + 1) * cap)
+        assert (np.diff(inputs.rel_ids[sl]) >= 0).all()
+        assert inputs.rel_group_sizes[j].sum() == cap
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_composed_train_step(
+        mesh, config, optimizer, inputs.nodes_per_shard,
+        num_nodes=inputs.num_nodes, halo_width=inputs.halo_width,
+        contrib="grouped",
+    )
+    rng = jax.random.PRNGKey(41)
+    arrays = tuple(
+        jnp.asarray(a) for a in (
+            inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+            inputs.edge_mask, inputs.char_ids, inputs.lengths,
+        )
+    )
+    new_params, _, loss = step(
+        params, opt_state, *arrays, rng,
+        src_halo=jnp.asarray(inputs.src_halo),
+        send_idx=jnp.asarray(inputs.send_idx),
+        rel_group_sizes=jnp.asarray(inputs.rel_group_sizes),
+    )
+
+    neg_rng, _ = jax.random.split(rng)
+    shifts = [
+        int(jax.random.randint(
+            jax.random.fold_in(neg_rng, j), (), 1, max(cap, 2)
+        ))
+        for j in range(k)
+    ]
+
+    def ref_loss(p):
+        embs = apply_hypergnn(config, p, *arrays)
+        num = 0.0
+        for j in range(k):
+            sl = slice(j * cap, (j + 1) * cap)
+            head = embs[arrays[1][sl]]
+            tail = embs[arrays[2][sl]]
+            neg_tail = jnp.roll(tail, -shifts[j], axis=0)
+            pos = jnp.sum(head * tail, axis=-1)
+            neg = jnp.sum(head * neg_tail, axis=-1)
+            num = num + jnp.sum(
+                jnp.maximum(1.0 - pos + neg, 0.0) * arrays[4][sl]
+            )
+        return num / jnp.maximum(jnp.sum(arrays[4]), 1.0)
+
+    l_ref, grads = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(l_ref), atol=1e-5)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_params),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
 def test_halo_step_per_device_flops_shrink_with_mesh():
     """Scaling-regression guard: the halo step's per-device compiled FLOPs
     must shrink with mesh size (no replicated compute growth), while the
