@@ -103,6 +103,43 @@ def _float0_like(a):
     return np.zeros(a.shape, dtype=jax.dtypes.float0)
 
 
+# Past this row count the Pallas CSR reduction beats XLA's sorted-hint
+# segment-sum (which still costs 12-18 ms at [1M, d] on this stack).
+_PALLAS_SEGSUM_MIN_ROWS = 65_536
+
+
+def sorted_segment_sum(
+    values_sorted: jax.Array,
+    ids_sorted: jax.Array,
+    num_segments: int,
+) -> jax.Array:
+    """Sorted-input segment-sum, routed to the fastest backend.
+
+    On TPU with d % 128 == 0 and enough rows, uses the Pallas CSR
+    reduction (``ops/pallas/segment_sum.py`` — chunked DMA + one-hot MXU
+    accumulation, ~10x the XLA sorted-hint lowering at [1M, 128]);
+    otherwise ``jax.ops.segment_sum(indices_are_sorted=True)``.
+    """
+    d = values_sorted.shape[-1] if values_sorted.ndim == 2 else 0
+    if (
+        jax.default_backend() == "tpu"
+        and d % 128 == 0
+        and d > 0
+        and values_sorted.shape[0] >= _PALLAS_SEGSUM_MIN_ROWS
+    ):
+        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            sorted_segment_sum_pallas,
+        )
+
+        return sorted_segment_sum_pallas(
+            values_sorted, ids_sorted, num_segments
+        )
+    return jax.ops.segment_sum(
+        values_sorted, ids_sorted, num_segments=num_segments,
+        indices_are_sorted=True,
+    )
+
+
 @jax.custom_vjp
 def permute_rows(x: jax.Array, perm: jax.Array, inv_perm: jax.Array) -> jax.Array:
     """``x[perm]`` for a bijective ``perm``, with a gather-only VJP.
@@ -165,9 +202,7 @@ def _take_rows_sorted_bwd(num_rows, res, g):
     idx, perm_to_sorted, idx_sorted = res
     if perm_to_sorted is not None:
         g = jnp.take(g, perm_to_sorted, axis=0, unique_indices=True)
-    dtable = jax.ops.segment_sum(
-        g, idx_sorted, num_segments=num_rows, indices_are_sorted=True
-    )
+    dtable = sorted_segment_sum(g, idx_sorted, num_rows)
     dperm = None if perm_to_sorted is None else _float0_like(perm_to_sorted)
     return dtable, _float0_like(idx), dperm, _float0_like(idx_sorted)
 
@@ -191,7 +226,4 @@ def sorted_segment_sum_by_plan(
     supplies a gather VJP for the re-ordering).
     """
     values_sorted = permute_rows(values, perm_to_sorted, inv_perm)
-    return jax.ops.segment_sum(
-        values_sorted, ids_sorted, num_segments=num_segments,
-        indices_are_sorted=True,
-    )
+    return sorted_segment_sum(values_sorted, ids_sorted, num_segments)

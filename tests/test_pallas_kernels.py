@@ -191,3 +191,79 @@ class TestPallasBackendIntegration:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
             )
+
+
+class TestSortedSegmentSumPallas:
+    """CSR-style Pallas segment-sum vs jax.ops.segment_sum (interpret on
+    CPU): exact reduction, ragged segment boundaries, empty segments,
+    masked pad rows, and the gather backward."""
+
+    def _case(self, seed=0, e=2000, n=300, d=128, skew=False):
+        rng = np.random.default_rng(seed)
+        if skew:
+            ids = np.sort(
+                np.minimum(
+                    (rng.pareto(1.0, e) * 10).astype(np.int64), n - 1
+                )
+            )
+        else:
+            ids = np.sort(rng.integers(0, n, e))
+        x = rng.standard_normal((e, d)).astype(np.float32)
+        return jnp.asarray(x), jnp.asarray(ids.astype(np.int32)), n
+
+    @pytest.mark.parametrize("skew", [False, True])
+    def test_matches_segment_sum(self, skew):
+        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            sorted_segment_sum_pallas,
+        )
+
+        x, ids, n = self._case(skew=skew)
+        got = sorted_segment_sum_pallas(x, ids, n, 256, 256, INTERPRET)
+        want = jax.ops.segment_sum(
+            x, ids, num_segments=n, indices_are_sorted=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
+        )
+
+    def test_empty_trailing_segments_and_zero_pad_rows(self):
+        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            sorted_segment_sum_pallas,
+        )
+
+        x, ids, n = self._case(seed=3, e=700, n=900)
+        # Masked pad rows at the sorted front (dst 0), like the encoder's.
+        x = x.at[:50].set(0.0)
+        got = sorted_segment_sum_pallas(x, ids, n, 256, 256, INTERPRET)
+        want = jax.ops.segment_sum(x, ids, num_segments=n)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
+        )
+
+    def test_backward_is_gather(self):
+        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            sorted_segment_sum_pallas,
+        )
+
+        x, ids, n = self._case(seed=5, e=600, n=200)
+        w = jnp.asarray(
+            np.random.default_rng(9).standard_normal((n, 128)).astype(
+                np.float32
+            )
+        )
+
+        def f_pallas(x):
+            return jnp.sum(
+                sorted_segment_sum_pallas(x, ids, n, 256, 256, INTERPRET) * w
+            )
+
+        def f_ref(x):
+            return jnp.sum(
+                jax.ops.segment_sum(x, ids, num_segments=n) * w
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_pallas)(x)),
+            np.asarray(jax.grad(f_ref)(x)),
+            atol=1e-4, rtol=1e-5,
+        )
