@@ -43,7 +43,9 @@ from graph_hypernetwork_forge_tpu.ops.segment import (
 )
 from graph_hypernetwork_forge_tpu.training.train import make_train_step
 
-N, E, U, D = 50_000, 1_000_000, 237, 64
+import os
+
+N, E, U, D = 50_000, 1_000_000, 237, int(os.environ.get("GHF_D", "64"))
 K = 10
 REPS = 3
 
@@ -112,7 +114,10 @@ def main():
     # 2. Sort-free gather (take_rows_sorted) fwd and fwd+bwd.
     def take(c, h):
         return jnp.sum(
-            take_rows_sorted(N, h + c, src, plan.src_perm, plan.src_sorted)
+            take_rows_sorted(
+                N, h + c, src, plan.src_perm, plan.src_sorted,
+                plan.src_splits,
+            )
         )
 
     bench("take_rows_fwd", take, h)
@@ -122,7 +127,8 @@ def main():
     def tail(c, x):
         return jnp.sum(
             sorted_segment_sum_by_plan(
-                x + c, plan.dst_perm, plan.inv_dst_perm, plan.dst_sorted, N
+                x + c, plan.dst_perm, plan.inv_dst_perm, plan.dst_sorted, N,
+                plan.dst_splits,
             )
         )
 

@@ -298,14 +298,18 @@ def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, preci
         n = h.shape[0]
         group_sizes = sort_plan.rel_counts[:u]
         h_src = take_rows_sorted(
-            n, h, src, sort_plan.src_perm, sort_plan.src_sorted
+            n, h, src, sort_plan.src_perm, sort_plan.src_sorted,
+            sort_plan.src_splits,
         )
         h_dst = take_rows_sorted(
-            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted
+            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
+            sort_plan.dst_splits,
         )
         # rel_ids are already non-decreasing in the rel-sorted layout, so
         # the bias cotangent needs no re-permute (perm_to_sorted=None).
-        bias_e = take_rows_sorted(u, bias, rel_ids, None, rel_ids)
+        bias_e = take_rows_sorted(
+            u, bias, rel_ids, None, rel_ids, sort_plan.rel_splits
+        )
         msg = _ragged_transform(h_src, w_msg, group_sizes, precision) + bias_e
         self_c = _ragged_transform(h_dst, w_self, group_sizes, precision)
         return msg, self_c
@@ -521,11 +525,11 @@ def relational_message_passing(
         if sort_plan is not None:
             total_msg = sorted_segment_sum_by_plan(
                 msg, sort_plan.dst_perm, sort_plan.inv_dst_perm,
-                sort_plan.dst_sorted, n,
+                sort_plan.dst_sorted, n, sort_plan.dst_splits,
             )
             total_self = sorted_segment_sum_by_plan(
                 self_contrib, sort_plan.dst_perm, sort_plan.inv_dst_perm,
-                sort_plan.dst_sorted, n,
+                sort_plan.dst_sorted, n, sort_plan.dst_splits,
             )
         else:
             total_msg = segment_sum(msg, dst, num_segments=n)
@@ -539,7 +543,7 @@ def relational_message_passing(
     if sort_plan is not None:
         total = sorted_segment_sum_by_plan(
             both, sort_plan.dst_perm, sort_plan.inv_dst_perm,
-            sort_plan.dst_sorted, n,
+            sort_plan.dst_sorted, n, sort_plan.dst_splits,
         )
     else:
         total = segment_sum(both, dst, num_segments=n)

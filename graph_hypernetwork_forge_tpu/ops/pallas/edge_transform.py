@@ -347,10 +347,12 @@ def edge_contributions_pallas_sorted(
 
         n = h.shape[0]
         x_src = take_rows_sorted(
-            n, h, src, sort_plan.src_perm, sort_plan.src_sorted
+            n, h, src, sort_plan.src_perm, sort_plan.src_sorted,
+            sort_plan.src_splits,
         )
         x_dst = take_rows_sorted(
-            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted
+            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
+            sort_plan.dst_splits,
         )
     else:
         x_src = h[src]

@@ -1,10 +1,10 @@
 """Pallas TPU kernel: sorted segment-sum at HBM-bandwidth speed.
 
-XLA's ``jax.ops.segment_sum`` on TPU costs 12-18 ms for a ``[1M, 128]``
-reduction even with the ``indices_are_sorted`` hint, vs a ~0.7 ms HBM
-roofline (read E·d floats, write N·d). With 6-8 such reductions per xl
-train step (aggregation tails + gather cotangents), this is the single
-largest off-roofline cost (``benchmarks/xl_breakdown.py``).
+XLA's ``jax.ops.segment_sum`` on TPU costs 11-18 ms for a ``[1M, 128]``
+reduction even with the ``indices_are_sorted`` hint (~50 GB/s effective),
+vs a ~0.7 ms HBM roofline (read E·d floats, write N·d). With 6-8 such
+reductions per xl train step (aggregation tails + gather cotangents), this
+is the single largest off-roofline cost (``benchmarks/xl_breakdown.py``).
 
 This kernel computes the reduction as a CSR-style pass over the dst-sorted
 edge rows:
@@ -15,21 +15,26 @@ edge rows:
   normal VMEM-blocked inputs, and a scalar-prefetched ``row_start [T+1]``
   bounds each tile's chunk loop;
 - the kernel streams the tile's edge rows from HBM in CHUNK-aligned
-  slices with explicit async DMA and accumulates each chunk with ONE MXU
-  matmul: ``out += interval_onehot ᵀ @ chunk``, where
+  slices with DOUBLE-BUFFERED async DMA (chunk ci+1 is in flight while ci
+  folds) and accumulates each chunk with MXU matmuls:
+  ``out += interval_onehot ᵀ @ chunk``, where
   ``interval_onehot[r, j] = starts[j] <= r < ends[j]`` is built by two
   VPU compares against the global row index — no per-edge id traffic at
   all, and rows outside the tile's range (shared boundary chunks) match
   no interval, so no extra masking is needed.
 
 This is the classic one-hot segmented-matmul trick: the vector scatter
-becomes systolic-array work (~2·TILE_N MACs/edge-element — noise next to
-MXU throughput).
+becomes systolic-array work.
 
-Exactness: one-hot entries are exactly 0/1 and the dot runs at
-``precision="highest"`` (f32-exact products), so the result differs from
-``jax.ops.segment_sum`` only by f32 summation order (the same class of
-difference as any reduction reorder; parity gates at 3e-5 are unaffected).
+Exactness (``mode="exact"``): one-hot entries are exactly representable in
+bf16, so only the DATA operand needs precision recovery — the chunk is
+split into three bf16 terms (``c = c1 + c2 + c3`` capturing the full f32
+mantissa) and folded with three native-rate bf16 MXU passes accumulating
+in f32. This matches the error class of ``precision=HIGHEST`` (summation-
+order-level, measured rel err ~2e-7 vs XLA) at half the passes — HIGHEST
+would split BOTH operands (6 passes) although the one-hot side is already
+exact. ``mode="fast"`` does one bf16 pass (data rounded to bf16) for
+speed-mode runs that opt out of the f32 parity gate.
 
 The backward of a sorted segment-sum is a row gather — pure XLA.
 
@@ -47,7 +52,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 256
+# 128 output rows per program: the minimum lane-safe one-hot width, halving
+# the MXU work per edge row vs 256 (FLOPs scale with E·TILE_N·d).
+TILE_N = 128
 CHUNK = 256
 
 
@@ -55,7 +62,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(tile_n, chunk, d, precision):
+def _make_kernel(tile_n, chunk, d, mode):
     def kernel(rs_ref, starts_ref, ends_ref, x_ref, out_ref, xs, sem):
         t = pl.program_id(0)
         start = rs_ref[t]
@@ -68,25 +75,48 @@ def _make_kernel(tile_n, chunk, d, precision):
         c0 = start // chunk     # chunk-aligned streaming window
         c1 = pl.cdiv(end, chunk)
 
-        def body(ci, _):
-            off = pl.multiple_of(ci * chunk, chunk)
-            cp = pltpu.make_async_copy(
-                x_ref.at[pl.ds(off, chunk)], xs, sem
+        def dma(ci, slot):
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(pl.multiple_of(ci * chunk, chunk), chunk)],
+                xs.at[slot],
+                sem.at[slot],
             )
-            cp.start()
-            cp.wait()
-            rows = off + jax.lax.broadcasted_iota(
+
+        @pl.when(c0 < c1)
+        def _():
+            dma(c0, 0).start()
+
+        def body(ci, _):
+            slot = jax.lax.rem(ci - c0, 2)
+
+            @pl.when(ci + 1 < c1)
+            def _():
+                dma(ci + 1, 1 - slot).start()
+
+            dma(ci, slot).wait()
+            rows = ci * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (chunk, tile_n), 0
             )
             onehot = (
                 (rows >= starts[None, :]) & (rows < ends[None, :])
-            ).astype(jnp.float32)
-            out_ref[:] += jax.lax.dot_general(
-                onehot, xs[:],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32,
-            )
+            ).astype(jnp.bfloat16)
+            c = xs[slot]
+            dims = (((0,), (0,)), ((), ()))
+
+            def fold(term):
+                return jax.lax.dot_general(
+                    onehot, term, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                )
+
+            if mode == "fast":
+                out_ref[:] += fold(c.astype(jnp.bfloat16))
+            else:
+                c1_ = c.astype(jnp.bfloat16)
+                r1 = c - c1_.astype(jnp.float32)
+                c2_ = r1.astype(jnp.bfloat16)
+                c3_ = (r1 - c2_.astype(jnp.float32)).astype(jnp.bfloat16)
+                out_ref[:] += fold(c1_) + fold(c2_) + fold(c3_)
             return 0
 
         jax.lax.fori_loop(c0, c1, body, 0)
@@ -95,22 +125,38 @@ def _make_kernel(tile_n, chunk, d, precision):
 
 
 def _impl(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
-          precision):
+          mode, splits=None):
     e, d = x_sorted.shape
     n_pad = _round_up(max(num_segments, 1), tile_n)
     t = n_pad // tile_n
-    ids32 = ids_sorted.astype(jnp.int32)
-    # Per-node edge-row boundaries: binary search over the static sorted
-    # ids — no device sort anywhere.
-    bounds = jnp.arange(n_pad + 1, dtype=jnp.int32)
-    splits = jnp.searchsorted(ids32, bounds, side="left").astype(jnp.int32)
+    if splits is None:
+        # Per-node edge-row boundaries: binary search over the static
+        # sorted ids — no device sort anywhere. NOTE: in-jit searchsorted
+        # measures 23 ms at [1M rows, 50k nodes] on this stack (4x the
+        # kernel itself) — production callers pass host-precomputed
+        # ``SortPlan.*_splits`` instead; this path exists for standalone /
+        # test use.
+        ids32 = ids_sorted.astype(jnp.int32)
+        bounds = jnp.arange(n_pad + 1, dtype=jnp.int32)
+        splits = jnp.searchsorted(ids32, bounds, side="left")
+    splits = splits.astype(jnp.int32)
+    if splits.shape[0] != n_pad + 1:
+        # Extend with the total row count (trailing segments are empty).
+        splits = jnp.pad(
+            splits, (0, n_pad + 1 - splits.shape[0]), mode="edge"
+        )
     starts = splits[:-1].reshape(t, 1, tile_n)
     ends = splits[1:].reshape(t, 1, tile_n)
     row_start = splits[:: tile_n]  # [t + 1] tile-level chunk-loop bounds
-    # Pad rows so the last chunk-aligned DMA slice is in bounds (padded
-    # rows' global index >= end matches no node interval).
-    e_pad = _round_up(e, chunk) + chunk
-    x_p = jnp.pad(x_sorted, ((0, e_pad - e), (0, 0)))
+    # Chunk-aligned DMA slices must stay in bounds; rows past the real ids
+    # have global index >= every interval end, so they fold to zero. Edge
+    # buckets are chunk-multiples in practice, making this pad a no-op
+    # (an [E, d] pad copy costs ~5 ms at [1M, 128] — avoid materializing).
+    e_pad = _round_up(max(e, 1), chunk)
+    x_p = (
+        x_sorted if e_pad == e
+        else jnp.pad(x_sorted, ((0, e_pad - e), (0, 0)))
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -122,17 +168,18 @@ def _impl(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
         ],
         out_specs=pl.BlockSpec((tile_n, d), lambda i, rs: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((chunk, d), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, chunk, d), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    passes = 1 if mode == "fast" else 3
     out = pl.pallas_call(
-        _make_kernel(tile_n, chunk, d, precision),
+        _make_kernel(tile_n, chunk, d, mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * e * tile_n * d,
+            flops=2 * e * tile_n * d * passes,
             bytes_accessed=e * d * 4 + n_pad * d * 4,
             transcendentals=0,
         ),
@@ -143,34 +190,41 @@ def _impl(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def sorted_segment_sum_pallas(
     x_sorted, ids_sorted, num_segments, tile_n=TILE_N, chunk=CHUNK,
-    interpret=False, precision=jax.lax.Precision.HIGHEST,
+    interpret=False, mode="exact", splits=None,
 ):
     """Segment-sum of rows grouped by non-decreasing ``ids_sorted``.
 
     Drop-in for ``jax.ops.segment_sum(..., indices_are_sorted=True)`` on
     sorted inputs with d % 128 == 0 (see module docstring). ``ids_sorted``
     is graph structure — not differentiated; the backward is a row gather.
+
+    ``splits``: optional ``[num_segments + 1]`` CSR row boundaries of
+    ``ids_sorted`` (``SortPlan.dst_splits`` et al.). Pass them whenever the
+    graph structure is static — the in-jit ``searchsorted`` fallback costs
+    4x the kernel itself at [1M, 50k].
     """
     return _impl(
-        x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
-        precision,
+        x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret, mode,
+        splits,
     )
 
 
-def _fwd(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
-         precision):
+def _fwd(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret, mode,
+         splits=None):
     out = _impl(
-        x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
-        precision,
+        x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret, mode,
+        splits,
     )
-    return out, ids_sorted
+    return out, (ids_sorted, splits)
 
 
-def _bwd(num_segments, tile_n, chunk, interpret, precision, ids_sorted, g):
+def _bwd(num_segments, tile_n, chunk, interpret, mode, res, g):
     import numpy as np
 
-    dids = np.zeros(ids_sorted.shape, dtype=jax.dtypes.float0)
-    return jnp.take(g, ids_sorted, axis=0), dids
+    ids_sorted, splits = res
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    dsplits = None if splits is None else f0(splits)
+    return jnp.take(g, ids_sorted, axis=0), f0(ids_sorted), dsplits
 
 
 sorted_segment_sum_pallas.defvjp(_fwd, _bwd)

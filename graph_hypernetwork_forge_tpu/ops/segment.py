@@ -104,7 +104,11 @@ def _float0_like(a):
 
 
 # Past this row count the Pallas CSR reduction beats XLA's sorted-hint
-# segment-sum (which still costs 12-18 ms at [1M, d] on this stack).
+# segment-sum, PROVIDED the CSR row boundaries come host-precomputed:
+# measured at [1M, 128] the kernel runs ~3 ms vs XLA's 11 ms, but an
+# in-jit searchsorted for the boundaries alone costs 23 ms — so the
+# dispatcher only routes to Pallas when the caller supplies splits
+# (``SortPlan.dst_splits`` / ``src_splits`` / ``rel_splits``).
 _PALLAS_SEGSUM_MIN_ROWS = 65_536
 
 
@@ -112,27 +116,33 @@ def sorted_segment_sum(
     values_sorted: jax.Array,
     ids_sorted: jax.Array,
     num_segments: int,
+    splits: jax.Array | None = None,
 ) -> jax.Array:
     """Sorted-input segment-sum, routed to the fastest backend.
 
-    On TPU with d % 128 == 0 and enough rows, uses the Pallas CSR
-    reduction (``ops/pallas/segment_sum.py`` — chunked DMA + one-hot MXU
-    accumulation, ~10x the XLA sorted-hint lowering at [1M, 128]);
-    otherwise ``jax.ops.segment_sum(indices_are_sorted=True)``.
+    On TPU with d % 128 == 0, enough rows, AND host-precomputed CSR row
+    boundaries (``splits``, ``[num_segments + 1]``), uses the Pallas CSR
+    reduction (``ops/pallas/segment_sum.py`` — double-buffered chunk DMA +
+    interval one-hot MXU accumulation; measured 3.5x the XLA sorted-hint
+    lowering at [1M, 128]); otherwise
+    ``jax.ops.segment_sum(indices_are_sorted=True)``.
     """
     d = values_sorted.shape[-1] if values_sorted.ndim == 2 else 0
     if (
-        jax.default_backend() == "tpu"
+        splits is not None
+        and jax.default_backend() == "tpu"
         and d % 128 == 0
         and d > 0
         and values_sorted.shape[0] >= _PALLAS_SEGSUM_MIN_ROWS
+        and splits.shape[0] >= num_segments + 1
     ):
         from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
             sorted_segment_sum_pallas,
         )
 
         return sorted_segment_sum_pallas(
-            values_sorted, ids_sorted, num_segments
+            values_sorted, ids_sorted, num_segments,
+            splits=splits[: num_segments + 1],
         )
     return jax.ops.segment_sum(
         values_sorted, ids_sorted, num_segments=num_segments,
@@ -173,6 +183,7 @@ def take_rows_sorted(
     idx: jax.Array,
     perm_to_sorted: jax.Array | None,
     idx_sorted: jax.Array,
+    splits: jax.Array | None = None,
 ) -> jax.Array:
     """``table[idx]`` whose VJP reduces with sorted indices (no device sort).
 
@@ -184,6 +195,9 @@ def take_rows_sorted(
             ``idx[perm_to_sorted]`` is non-decreasing, or None when ``idx``
             is already sorted (then the cotangent skips the re-permute).
         idx_sorted: ``[E]`` the sorted indices ``idx[perm_to_sorted]``.
+        splits: optional ``[num_rows + 1]`` host-precomputed CSR boundaries
+            of ``idx_sorted`` (``SortPlan.src_splits`` et al.) — routes the
+            cotangent reduction to the Pallas CSR kernel when profitable.
 
     The forward is a plain gather. The backward permutes the cotangent into
     sorted-index order (a gather — ``perm_to_sorted`` is bijective) and
@@ -193,18 +207,21 @@ def take_rows_sorted(
     return jnp.take(table, idx, axis=0)
 
 
-def _take_rows_sorted_fwd(num_rows, table, idx, perm_to_sorted, idx_sorted):
+def _take_rows_sorted_fwd(num_rows, table, idx, perm_to_sorted, idx_sorted,
+                          splits=None):
     out = jnp.take(table, idx, axis=0)
-    return out, (idx, perm_to_sorted, idx_sorted)
+    return out, (idx, perm_to_sorted, idx_sorted, splits)
 
 
 def _take_rows_sorted_bwd(num_rows, res, g):
-    idx, perm_to_sorted, idx_sorted = res
+    idx, perm_to_sorted, idx_sorted, splits = res
     if perm_to_sorted is not None:
         g = jnp.take(g, perm_to_sorted, axis=0, unique_indices=True)
-    dtable = sorted_segment_sum(g, idx_sorted, num_rows)
+    dtable = sorted_segment_sum(g, idx_sorted, num_rows, splits)
     dperm = None if perm_to_sorted is None else _float0_like(perm_to_sorted)
-    return dtable, _float0_like(idx), dperm, _float0_like(idx_sorted)
+    dsplits = None if splits is None else _float0_like(splits)
+    return (dtable, _float0_like(idx), dperm, _float0_like(idx_sorted),
+            dsplits)
 
 
 take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
@@ -216,6 +233,7 @@ def sorted_segment_sum_by_plan(
     inv_perm: jax.Array,
     ids_sorted: jax.Array,
     num_segments: int,
+    splits: jax.Array | None = None,
 ) -> jax.Array:
     """Segment-sum of unsorted rows via a precomputed sort permutation.
 
@@ -223,7 +241,8 @@ def sorted_segment_sum_by_plan(
     ``ids[perm_to_sorted] == ids_sorted``; runs as one bandwidth-bound
     gather plus one sorted-hint reduction, and its backward is gather-only
     (the VJP of a sorted segment-sum is a gather, and :func:`permute_rows`
-    supplies a gather VJP for the re-ordering).
+    supplies a gather VJP for the re-ordering). ``splits`` as in
+    :func:`sorted_segment_sum`.
     """
     values_sorted = permute_rows(values, perm_to_sorted, inv_perm)
-    return sorted_segment_sum(values_sorted, ids_sorted, num_segments)
+    return sorted_segment_sum(values_sorted, ids_sorted, num_segments, splits)

@@ -110,10 +110,12 @@ def link_prediction_loss_sorted(
 
     n = embs.shape[0]
     pos_h = take_rows_sorted(
-        n, embs, src, sort_plan.src_perm, sort_plan.src_sorted
+        n, embs, src, sort_plan.src_perm, sort_plan.src_sorted,
+        sort_plan.src_splits,
     )
     pos_t = take_rows_sorted(
-        n, embs, dst, sort_plan.dst_perm, sort_plan.dst_sorted
+        n, embs, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
+        sort_plan.dst_splits,
     )
     neg_t = jnp.roll(pos_t, -roll_shift, axis=0)
     pos = jnp.sum(pos_h * pos_t, axis=-1)

@@ -240,6 +240,42 @@ class TestSortedSegmentSumPallas:
             np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
         )
 
+    def test_host_splits_match_in_jit_searchsorted(self):
+        # Production path: CSR boundaries come host-precomputed
+        # (SortPlan.*_splits) — must be numerically identical to the
+        # standalone in-jit searchsorted path.
+        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            sorted_segment_sum_pallas,
+        )
+
+        x, ids, n = self._case(seed=7, e=1500, n=277)
+        splits = jnp.asarray(
+            np.searchsorted(
+                np.asarray(ids), np.arange(n + 1), side="left"
+            ).astype(np.int32)
+        )
+        got = sorted_segment_sum_pallas(
+            x, ids, n, 128, 256, INTERPRET, "exact", splits
+        )
+        want = jax.ops.segment_sum(x, ids, num_segments=n)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
+        )
+
+    def test_fast_mode_is_bf16_class(self):
+        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            sorted_segment_sum_pallas,
+        )
+
+        x, ids, n = self._case(seed=11, e=1200, n=150)
+        got = sorted_segment_sum_pallas(x, ids, n, 128, 256, INTERPRET,
+                                        "fast")
+        want = jax.ops.segment_sum(x, ids, num_segments=n)
+        scale = float(jnp.max(jnp.abs(want)))
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err / scale < 3e-2      # bf16-class, not garbage
+        assert err / scale > 1e-6      # and genuinely single-pass
+
     def test_backward_is_gather(self):
         from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
             sorted_segment_sum_pallas,
