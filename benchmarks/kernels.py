@@ -47,6 +47,7 @@ from graph_hypernetwork_forge_tpu.ops.message_passing import (  # noqa: E402
 from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (  # noqa: E402
     GROUP_PAD,
     edge_transform_sorted,
+    edge_transform_sorted_combined,
 )
 
 CONFIGS = [
@@ -166,6 +167,18 @@ def run(name, n, e, u, d, reps=5, with_bwd=False):
             )
 
         bench(pallas_bf16_fn, "pallas-bf16")
+
+        def pallas_combined_fn(h, src, dst, rel, w_msg, w_self, bias):
+            c = edge_transform_sorted_combined(
+                h[src], h[dst], rel, w_msg, w_self, bias, None, 256, False,
+            )
+            return c, c  # keep the (msg, self) bench contract
+
+        got_c = bench(pallas_combined_fn, "pallas-combined")
+        err_c = float(jnp.max(jnp.abs(got_c[0] - (ref[0] + ref[1]))))
+        print(json.dumps({
+            "config": name, "pallas_combined_vs_ref_sum_max_err": err_c,
+        }))
     if got is not None:
         err = float(
             jnp.max(jnp.abs(got[0] - ref[0])) + jnp.max(jnp.abs(got[1] - ref[1]))

@@ -35,6 +35,7 @@ from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (  # noqa: E402
 CONFIGS = [
     # (name, E, N, d)
     ("e128k-d128", 131_072, 10_000, 128),
+    ("e1m-d64", 1 << 20, 50_000, 64),
     ("e1m-d128", 1 << 20, 50_000, 128),
     ("e1m-d256", 1 << 20, 50_000, 256),
     ("e4m-d128", 1 << 22, 200_000, 128),
@@ -86,6 +87,27 @@ def run(name, e, n, d, reps=5, fused=10):
         ),
         "xla-sorted-hint",
     )
+    if jax.default_backend() == "tpu" and d % 128:
+        # Sub-lane width: only the dispatcher path applies (column-pad to
+        # 128 lanes + kernel), vs the XLA lowering above.
+        from graph_hypernetwork_forge_tpu.ops.segment import (
+            sorted_segment_sum,
+        )
+
+        splits = jnp.asarray(
+            np.searchsorted(
+                np.asarray(ids), np.arange(n + 1), side="left"
+            ).astype(np.int32)
+        )
+        got3 = bench(
+            lambda x, ids: sorted_segment_sum(x, ids, n, splits),
+            "pallas-csr-dpad",
+        )
+        err3 = float(jnp.max(jnp.abs(got3 - ref)))
+        print(
+            json.dumps({"config": name, "dpad_vs_xla_max_err": err3}),
+            flush=True,
+        )
     if jax.default_backend() == "tpu" and d % 128 == 0:
         got = bench(
             lambda x, ids: sorted_segment_sum_pallas(x, ids, n), "pallas-csr"

@@ -471,16 +471,51 @@ def relational_message_passing(
             # unsorted edges fall back to the grouped ragged backend.
             chosen = "grouped"
 
+    from graph_hypernetwork_forge_tpu.ops.segment import (
+        segment_sum,
+        sorted_segment_sum_by_plan,
+    )
+
     if chosen == "pallas":
+        # Combined-output kernel: the tail only ever consumes msg + selfc
+        # (out_v = (Σ msg + Σ self)/cnt, reference models/hypergnn.py:
+        # 207-230), so the kernel emits the sum directly — half the output
+        # writes, and the reduction below runs at [E, d] instead of the
+        # [E, 2d] concat. Numerics differ from the two-stream form only by
+        # reduction order and a single (vs two) final divide — the same
+        # error class as any reduction reorder, inside the 3e-5 parity gate.
         from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
-            edge_contributions_pallas_sorted,
+            edge_contributions_pallas_combined,
         )
 
-        msg, self_contrib = edge_contributions_pallas_sorted(
+        contrib = edge_contributions_pallas_combined(
             h, src, dst, rel_ids, w_msg, w_self, bias, sort_plan=sort_plan,
             interpret=jax.default_backend() != "tpu", precision=precision,
         )
-    elif chosen == "dense":
+        if sort_plan is not None:
+            cnt = jnp.maximum(sort_plan.in_degree[:n], 1.0)[:, None].astype(
+                h.dtype
+            )
+        else:
+            cnt = segment_sum(
+                jnp.ones(dst.shape, h.dtype)
+                if edge_mask is None else edge_mask,
+                dst,
+                num_segments=n,
+            )
+            cnt = jnp.maximum(cnt, 1.0)[:, None]
+        if edge_mask is not None:
+            contrib = contrib * edge_mask[:, None]
+        if sort_plan is not None:
+            total = sorted_segment_sum_by_plan(
+                contrib, sort_plan.dst_perm, sort_plan.inv_dst_perm,
+                sort_plan.dst_sorted, n, sort_plan.dst_splits,
+            )
+        else:
+            total = segment_sum(contrib, dst, num_segments=n)
+        return total / cnt
+
+    if chosen == "dense":
         msg, self_contrib = _edge_contributions_dense(
             h, src, dst, rel_ids, w_msg, w_self, bias, precision
         )
@@ -493,11 +528,6 @@ def relational_message_passing(
         msg, self_contrib = _edge_contributions_gather(
             h, src, dst, rel_ids, w_msg, w_self, bias, precision
         )
-
-    from graph_hypernetwork_forge_tpu.ops.segment import (
-        segment_sum,
-        sorted_segment_sum_by_plan,
-    )
 
     if sort_plan is not None:
         # Sort-free tail: degree counts come precomputed and the reduction

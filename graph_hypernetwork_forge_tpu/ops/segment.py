@@ -131,8 +131,7 @@ def sorted_segment_sum(
     if (
         splits is not None
         and jax.default_backend() == "tpu"
-        and d % 128 == 0
-        and d > 0
+        and d >= 64
         and values_sorted.shape[0] >= _PALLAS_SEGSUM_MIN_ROWS
         and splits.shape[0] >= num_segments + 1
     ):
@@ -140,6 +139,18 @@ def sorted_segment_sum(
             sorted_segment_sum_pallas,
         )
 
+        d_pad = -(-d // 128) * 128
+        if d_pad != d:
+            # Sub-lane widths wedge Mosaic, so pad the column axis to the
+            # 128-lane width. The pad copy costs ~2x the useful traffic at
+            # d=64, but the kernel's ~600 GB/s vs the ~50 GB/s XLA
+            # sorted-hint lowering still nets ~2x end to end.
+            out = sorted_segment_sum_pallas(
+                jnp.pad(values_sorted, ((0, 0), (0, d_pad - d))),
+                ids_sorted, num_segments,
+                splits=splits[: num_segments + 1],
+            )
+            return out[:, :d]
         return sorted_segment_sum_pallas(
             values_sorted, ids_sorted, num_segments,
             splits=splits[: num_segments + 1],

@@ -135,6 +135,73 @@ class TestEdgeTransformSorted:
             )
 
 
+class TestEdgeTransformCombined:
+    def test_matches_two_output_sum(self):
+        from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
+            edge_transform_sorted_combined,
+        )
+
+        graph, h, w_msg, w_self, bias = make_case(8)
+        src, dst, rel = (
+            jnp.asarray(graph.src), jnp.asarray(graph.dst),
+            jnp.asarray(graph.rel_ids),
+        )
+        got = edge_transform_sorted_combined(
+            jnp.asarray(h)[src], jnp.asarray(h)[dst], rel,
+            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+            None, TILE, INTERPRET,
+        )
+        m, s = edge_transform_sorted(
+            jnp.asarray(h)[src], jnp.asarray(h)[dst], rel,
+            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+            TILE, INTERPRET,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m + s), atol=1e-5, rtol=1e-5
+        )
+
+    @pytest.mark.parametrize("with_splits", [False, True])
+    def test_vjp_matches_reference(self, with_splits):
+        from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
+            edge_transform_sorted_combined,
+        )
+
+        graph, h, w_msg, w_self, bias = make_case(9, plan=True)
+        rel = jnp.asarray(graph.rel_ids)
+        mask = jnp.asarray(graph.edge_mask)
+        splits = (
+            jnp.asarray(graph.sort_plan.rel_splits) if with_splits else None
+        )
+        x_src = jnp.asarray(h)[jnp.asarray(graph.src)]
+        x_dst = jnp.asarray(h)[jnp.asarray(graph.dst)]
+        args = (x_src, x_dst, jnp.asarray(w_msg), jnp.asarray(w_self),
+                jnp.asarray(bias))
+
+        def loss_pallas(x_src, x_dst, w_msg, w_self, bias):
+            c = edge_transform_sorted_combined(
+                x_src, x_dst, rel, w_msg, w_self, bias, splits, TILE,
+                INTERPRET,
+            )
+            return jnp.sum(c * c * mask[:, None])
+
+        def loss_ref(x_src, x_dst, w_msg, w_self, bias):
+            c = (
+                jnp.einsum("ed,edo->eo", x_src, w_msg[rel],
+                           precision=jax.lax.Precision.HIGHEST)
+                + bias[rel]
+                + jnp.einsum("ed,edo->eo", x_dst, w_self[rel],
+                             precision=jax.lax.Precision.HIGHEST)
+            )
+            return jnp.sum(c * c * mask[:, None])
+
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-4
+            )
+
+
 class TestPallasBackendIntegration:
     def test_message_passing_matches_gather_backend(self):
         """Full layer through backend='pallas' (sort-plan routed gathers)
