@@ -98,6 +98,9 @@ def run_config(name, n, e, u, d, ref):
         backend=os.environ.get("GHF_SCALING_BACKEND", "auto"),
         # "default" = bf16-class MXU speed mode (parity runs use "highest").
         precision=os.environ.get("GHF_SCALING_PRECISION", "highest"),
+        # "bfloat16" = bf16 activation/weight-bank storage (halved wire
+        # bytes on the bandwidth-bound paths; accumulations stay f32).
+        compute_dtype=os.environ.get("GHF_SCALING_DTYPE", "float32"),
     )
     if e > 2_000_000:
         # Wikidata5M scale: the grouped ragged backend + per-layer remat

@@ -89,6 +89,14 @@ class HyperGNNConfig:
     # at d % 128 == 0 on TPU (measured 1.4-1.7x over grouped at d=128,
     # f32-exact). WRONG RESULTS if the layout is not group-padded.
     group_padded: bool = False
+    # "float32" (parity mode, default) or "bfloat16" (speed mode): the
+    # message-passing activations and generated weight banks are stored and
+    # moved in bf16 — halving the wire bytes of the gathers/streams/tails
+    # that dominate these bandwidth-bound steps — while parameters, the
+    # optimizer, LayerNorm/residual arithmetic, and every reduction
+    # accumulation stay f32. Speed mode opts out of the f32 parity gate
+    # (bf16 storage rounding is ~4e-3 relative).
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if self.num_layers < 1:
@@ -190,6 +198,7 @@ def apply_hypergnn(
             rel_sorted=config.rel_sorted,
             sort_plan=sort_plan,
             group_padded=config.group_padded,
+            compute_dtype=config.compute_dtype,
         )
         h_new = h_new + h  # residual (always shape-compatible: hidden→hidden)
         h_new = jax.nn.relu(h_new)

@@ -145,14 +145,17 @@ def _mp_chunked_fwd_impl(h, src, dst, rel_ids, w_msg, w_self, bias,
         msg, selfc = _edge_contributions_chunk(
             h, src_c, dst_c, rel_c, w_msg, w_self, bias, precision
         )
-        agg = agg.at[dst_c].add(msg * mask_c[:, None])
-        selft = selft.at[dst_c].add(selfc * mask_c[:, None])
-        cnt = cnt.at[dst_c].add(mask_c)
+        # Accumulators are f32 even in bf16 speed mode (per-chunk upcast).
+        agg = agg.at[dst_c].add((msg * mask_c[:, None]).astype(jnp.float32))
+        selft = selft.at[dst_c].add(
+            (selfc * mask_c[:, None]).astype(jnp.float32)
+        )
+        cnt = cnt.at[dst_c].add(mask_c.astype(jnp.float32))
         return agg, selft, cnt
 
-    agg = jnp.zeros((n, d_out), h.dtype)
-    selft = jnp.zeros((n, d_out), h.dtype)
-    cnt = jnp.zeros((n,), h.dtype)
+    agg = jnp.zeros((n, d_out), jnp.float32)
+    selft = jnp.zeros((n, d_out), jnp.float32)
+    cnt = jnp.zeros((n,), jnp.float32)
     agg, selft, cnt = jax.lax.fori_loop(0, n_chunks, body, (agg, selft, cnt))
     cnt = jnp.maximum(cnt, 1.0)
     out = (agg + selft) / cnt[:, None]
@@ -183,30 +186,42 @@ def _mp_chunked_bwd(n, chunk_size, precision, residuals, g):
         dst_c = _slice_chunk(dst_p, i, chunk_size)
         rel_c = _slice_chunk(rel_p, i, chunk_size)
         mask_c = _slice_chunk(mask_p, i, chunk_size)
-        ge = g_over_cnt[dst_c] * mask_c[:, None]  # [chunk, d_out]
+        ge = g_over_cnt[dst_c] * mask_c[:, None]  # [chunk, d_out] f32
         wm_c = w_msg[rel_c]  # [chunk, d_in, d_out]
         ws_c = w_self[rel_c]
         x_src = h[src_c]  # [chunk, d_in]
         x_dst = h[dst_c]
-        # dh contributions.
-        dh = dh.at[src_c].add(jnp.einsum("eo,edo->ed", ge, wm_c, precision=precision))
-        dh = dh.at[dst_c].add(jnp.einsum("eo,edo->ed", ge, ws_c, precision=precision))
+        # dh contributions (accumulated f32 regardless of storage dtype).
+        dh = dh.at[src_c].add(
+            jnp.einsum("eo,edo->ed", ge, wm_c, precision=precision).astype(
+                jnp.float32
+            )
+        )
+        dh = dh.at[dst_c].add(
+            jnp.einsum("eo,edo->ed", ge, ws_c, precision=precision).astype(
+                jnp.float32
+            )
+        )
         # dW / dbias via relation-segment accumulation within the chunk.
         dw_msg = dw_msg + jax.ops.segment_sum(
-            jnp.einsum("ed,eo->edo", x_src, ge, precision=precision),
+            jnp.einsum("ed,eo->edo", x_src, ge, precision=precision).astype(
+                jnp.float32
+            ),
             rel_c, num_segments=u,
         )
         dw_self = dw_self + jax.ops.segment_sum(
-            jnp.einsum("ed,eo->edo", x_dst, ge, precision=precision),
+            jnp.einsum("ed,eo->edo", x_dst, ge, precision=precision).astype(
+                jnp.float32
+            ),
             rel_c, num_segments=u,
         )
         dbias = dbias + jax.ops.segment_sum(ge, rel_c, num_segments=u)
         return dh, dw_msg, dw_self, dbias
 
-    dh = jnp.zeros_like(h)
-    dw_msg = jnp.zeros_like(w_msg)
-    dw_self = jnp.zeros_like(w_self)
-    dbias = jnp.zeros_like(bias)
+    dh = jnp.zeros(h.shape, jnp.float32)
+    dw_msg = jnp.zeros(w_msg.shape, jnp.float32)
+    dw_self = jnp.zeros(w_self.shape, jnp.float32)
+    dbias = jnp.zeros(bias.shape, jnp.float32)
     dh, dw_msg, dw_self, dbias = jax.lax.fori_loop(
         0, n_chunks, body, (dh, dw_msg, dw_self, dbias)
     )
@@ -214,7 +229,9 @@ def _mp_chunked_bwd(n, chunk_size, precision, residuals, g):
     dmask = (
         None if edge_mask is None else jnp.zeros_like(edge_mask)
     )
-    return dh, f0(src), f0(dst), f0(rel_ids), dw_msg, dw_self, dbias, dmask
+    return (dh.astype(h.dtype), f0(src), f0(dst), f0(rel_ids),
+            dw_msg.astype(w_msg.dtype), dw_self.astype(w_self.dtype),
+            dbias.astype(bias.dtype), dmask)
 
 
 _mp_chunked.defvjp(_mp_chunked_fwd, _mp_chunked_bwd)
@@ -249,6 +266,11 @@ def _ragged_transform(x, w, group_sizes, precision):
         dx = ragged_dot(g, wᵀ)                          (same cost as fwd)
         dw = ragged_dot_general(x, g, ragged-contract)   ([U, d_in, d_out])
     """
+    # bf16 operands (speed mode) are single-pass native; a HIGHEST request
+    # on them is rejected by the Mosaic lowering of ragged_dot on TPU
+    # ("Bad lhs type" — fp32 contract precision over bf16 vectors).
+    if x.dtype == jnp.bfloat16:
+        precision = None
     return jax.lax.ragged_dot(x, w, group_sizes, precision=precision)
 
 
@@ -258,6 +280,8 @@ def _ragged_transform_fwd(x, w, group_sizes, precision):
 
 def _ragged_transform_bwd(precision, residuals, g):
     x, w, group_sizes = residuals
+    if x.dtype == jnp.bfloat16:
+        precision = None
     dx = jax.lax.ragged_dot(
         g, jnp.swapaxes(w, 1, 2), group_sizes, precision=precision
     )
@@ -391,6 +415,7 @@ def relational_message_passing(
     rel_sorted: bool = False,
     sort_plan=None,
     group_padded: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """One round of relation-conditioned message passing.
 
@@ -426,13 +451,27 @@ def relational_message_passing(
             With ``rel_sorted``, lets ``auto`` upgrade the grouped pick to
             the streaming Pallas kernel on TPU at d % 128 == 0 (measured
             1.4-1.7x faster, f32-exact at ``precision="highest"``).
+        compute_dtype: ``None``/``"float32"`` (parity mode) or
+            ``"bfloat16"`` (speed mode): activations and the generated
+            weight banks are stored/moved in bf16 — halving the wire bytes
+            of the gathers, streams, and reduction tails that dominate
+            these bandwidth-bound steps — while every reduction still
+            accumulates in f32 (the CSR kernel natively; XLA fallbacks via
+            an upcast fused into the scatter read) and the returned node
+            embeddings are f32. Parity gates do not apply in speed mode
+            (bf16-class storage rounding, ~4e-3 relative).
 
     Returns:
-        ``[N, d_out]`` updated node embeddings (pre-residual).
+        ``[N, d_out]`` updated node embeddings (pre-residual, f32).
     """
     from graph_hypernetwork_forge_tpu.utils.initializers import resolve_precision
 
     precision = resolve_precision(precision)
+    if compute_dtype in ("bfloat16", jnp.bfloat16):
+        h = h.astype(jnp.bfloat16)
+        w_msg = w_msg.astype(jnp.bfloat16)
+        w_self = w_self.astype(jnp.bfloat16)
+        bias = bias.astype(jnp.bfloat16)
     n = int(h.shape[0]) if num_nodes is None else num_nodes
     u = int(w_msg.shape[0])
     e = int(src.shape[0])
@@ -494,18 +533,18 @@ def relational_message_passing(
         )
         if sort_plan is not None:
             cnt = jnp.maximum(sort_plan.in_degree[:n], 1.0)[:, None].astype(
-                h.dtype
+                jnp.float32
             )
         else:
             cnt = segment_sum(
-                jnp.ones(dst.shape, h.dtype)
+                jnp.ones(dst.shape, jnp.float32)
                 if edge_mask is None else edge_mask,
                 dst,
                 num_segments=n,
             )
             cnt = jnp.maximum(cnt, 1.0)[:, None]
         if edge_mask is not None:
-            contrib = contrib * edge_mask[:, None]
+            contrib = contrib * edge_mask.astype(contrib.dtype)[:, None]
         if sort_plan is not None:
             total = sorted_segment_sum_by_plan(
                 contrib, sort_plan.dst_perm, sort_plan.inv_dst_perm,
@@ -533,10 +572,13 @@ def relational_message_passing(
         # Sort-free tail: degree counts come precomputed and the reduction
         # runs in dst-sorted order via a bijective permute + sorted-hint
         # segment-sum (backward is gather-only); no in-jit key sort.
-        cnt = jnp.maximum(sort_plan.in_degree[:n], 1.0)[:, None].astype(h.dtype)
+        cnt = jnp.maximum(sort_plan.in_degree[:n], 1.0)[:, None].astype(
+            jnp.float32
+        )
     else:
         cnt = segment_sum(
-            jnp.ones(dst.shape, h.dtype) if edge_mask is None else edge_mask,
+            jnp.ones(dst.shape, jnp.float32)
+            if edge_mask is None else edge_mask,
             dst,
             num_segments=n,
         )
@@ -550,8 +592,10 @@ def relational_message_passing(
         # 15 GB at E=10M, d=64 — an OOM); separate chains let the scheduler
         # sequence them. Columns reduce independently so numerics match.
         if edge_mask is not None:
-            msg = msg * edge_mask[:, None]
-            self_contrib = self_contrib * edge_mask[:, None]
+            msg = msg * edge_mask.astype(msg.dtype)[:, None]
+            self_contrib = self_contrib * edge_mask.astype(
+                self_contrib.dtype
+            )[:, None]
         if sort_plan is not None:
             total_msg = sorted_segment_sum_by_plan(
                 msg, sort_plan.dst_perm, sort_plan.inv_dst_perm,
@@ -569,7 +613,7 @@ def relational_message_passing(
     # and self-loop accumulators in one pass (one key sort instead of two).
     both = jnp.concatenate([msg, self_contrib], axis=-1)
     if edge_mask is not None:
-        both = both * edge_mask[:, None]
+        both = both * edge_mask.astype(both.dtype)[:, None]
     if sort_plan is not None:
         total = sorted_segment_sum_by_plan(
             both, sort_plan.dst_perm, sort_plan.inv_dst_perm,

@@ -87,17 +87,20 @@ def _make_edge_transform_kernel(precision):
         self_ref,     # [TILE_E, d_out]
     ):
         dims = (((1,), (0,)), ((), ()))
+        # bf16 operands are single-pass native; an fp32 contract-precision
+        # request on them is rejected by Mosaic ("Bad lhs type").
+        prec = None if xs_ref.dtype == jnp.bfloat16 else precision
         msg_ref[:] = (
             jax.lax.dot_general(
-                xs_ref[:], wm_ref[0], dims, precision=precision,
+                xs_ref[:], wm_ref[0], dims, precision=prec,
                 preferred_element_type=jnp.float32,
             )
             + b_ref[0]
-        )
+        ).astype(msg_ref.dtype)
         self_ref[:] = jax.lax.dot_general(
-            xd_ref[:], ws_ref[0], dims, precision=precision,
+            xd_ref[:], ws_ref[0], dims, precision=prec,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(self_ref.dtype)
 
     return _edge_transform_kernel
 
@@ -138,8 +141,8 @@ def _edge_transform_fwd_impl(
         _make_edge_transform_kernel(precision),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((e_pad, d_out), jnp.float32),
-            jax.ShapeDtypeStruct((e_pad, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, d_out), x_src.dtype),
+            jax.ShapeDtypeStruct((e_pad, d_out), x_src.dtype),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -163,17 +166,18 @@ def _edge_transform_fwd_impl(
 def _make_edge_transform_combined_kernel(precision):
     def _kernel(tr_ref, xs_ref, xd_ref, wm_ref, ws_ref, b_ref, out_ref):
         dims = (((1,), (0,)), ((), ()))
+        prec = None if xs_ref.dtype == jnp.bfloat16 else precision
         out_ref[:] = (
             jax.lax.dot_general(
-                xs_ref[:], wm_ref[0], dims, precision=precision,
+                xs_ref[:], wm_ref[0], dims, precision=prec,
                 preferred_element_type=jnp.float32,
             )
             + jax.lax.dot_general(
-                xd_ref[:], ws_ref[0], dims, precision=precision,
+                xd_ref[:], ws_ref[0], dims, precision=prec,
                 preferred_element_type=jnp.float32,
             )
             + b_ref[0]
-        )
+        ).astype(out_ref.dtype)
 
     return _kernel
 
@@ -216,7 +220,7 @@ def _edge_transform_combined_impl(
     out = pl.pallas_call(
         _make_edge_transform_combined_kernel(precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((e_pad, d_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((e_pad, d_out), x_src.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * e_pad * d_in * d_out,
@@ -290,11 +294,11 @@ def _combined_bwd(tile_e, interpret, precision, residuals, g):
     dw_msg = _segment_outer_impl(
         x_src, g, rel_sorted, u, tile_e=tile_e, interpret=interpret,
         precision=prec,
-    )
+    ).astype(w_msg.dtype)
     dw_self = _segment_outer_impl(
         x_dst, g, rel_sorted, u, tile_e=tile_e, interpret=interpret,
         precision=prec,
-    )
+    ).astype(w_self.dtype)
     if rel_splits is not None:
         from graph_hypernetwork_forge_tpu.ops.segment import (
             sorted_segment_sum,
@@ -302,9 +306,13 @@ def _combined_bwd(tile_e, interpret, precision, residuals, g):
 
         dbias = sorted_segment_sum(g, rel_sorted, u, rel_splits)
     else:
+        gf = (
+            g.astype(jnp.float32) if g.dtype == jnp.bfloat16 else g
+        )  # f32-accumulated reduction
         dbias = jax.ops.segment_sum(
-            g, rel_sorted, num_segments=u, indices_are_sorted=True
+            gf, rel_sorted, num_segments=u, indices_are_sorted=True
         )
+    dbias = dbias.astype(bias.dtype)
     import numpy as np
 
     dsplits = (
@@ -336,10 +344,11 @@ def _make_segment_outer_kernel(precision):
         def _():
             dw_ref[:] = jnp.zeros_like(dw_ref)
 
+        prec = None if x_ref.dtype == jnp.bfloat16 else precision
         contrib = jax.lax.dot_general(
             x_ref[:], g_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=precision,
+            precision=prec,
             preferred_element_type=jnp.float32,
         )  # [d_in, d_out]
         dw_ref[0] += contrib
@@ -470,14 +479,17 @@ def _bwd(tile_e, interpret, precision, residuals, grads):
     dw_msg = _segment_outer_impl(
         x_src, g_msg, rel_sorted, u, tile_e=tile_e, interpret=interpret,
         precision=prec,
-    )
+    ).astype(w_msg.dtype)
     dw_self = _segment_outer_impl(
         x_dst, g_selfc, rel_sorted, u, tile_e=tile_e, interpret=interpret,
         precision=prec,
+    ).astype(w_self.dtype)
+    g_bias = (
+        g_msg.astype(jnp.float32) if g_msg.dtype == jnp.bfloat16 else g_msg
     )
     dbias = jax.ops.segment_sum(
-        g_msg, rel_sorted, num_segments=u, indices_are_sorted=True
-    )
+        g_bias, rel_sorted, num_segments=u, indices_are_sorted=True
+    ).astype(bias.dtype)
     return dx_src, dx_dst, None, dw_msg, dw_self, dbias
 
 

@@ -62,7 +62,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(tile_n, chunk, d, mode):
+def _make_kernel(tile_n, chunk, d, mode, in_dtype=jnp.float32):
+    # bf16 input rows are already exact operands for the one-hot matmul —
+    # a single native-rate pass accumulating in f32 (better than XLA's
+    # bf16-accumulating segment_sum); f32 rows use the 3-term split below.
+    bf16_in = in_dtype == jnp.bfloat16
+
     def kernel(rs_ref, starts_ref, ends_ref, x_ref, out_ref, xs, sem):
         t = pl.program_id(0)
         start = rs_ref[t]
@@ -109,7 +114,9 @@ def _make_kernel(tile_n, chunk, d, mode):
                     preferred_element_type=jnp.float32,
                 )
 
-            if mode == "fast":
+            if bf16_in:
+                out_ref[:] += fold(c)
+            elif mode == "fast":
                 out_ref[:] += fold(c.astype(jnp.bfloat16))
             else:
                 c1_ = c.astype(jnp.bfloat16)
@@ -164,17 +171,17 @@ def _impl(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
         in_specs=[
             pl.BlockSpec((1, 1, tile_n), lambda i, rs: (i, 0, 0)),
             pl.BlockSpec((1, 1, tile_n), lambda i, rs: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec((tile_n, d), lambda i, rs: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, d), jnp.float32),  # double buffer
+            pltpu.VMEM((2, chunk, d), x_p.dtype),  # double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    passes = 1 if mode == "fast" else 3
+    passes = 1 if (mode == "fast" or x_p.dtype == jnp.bfloat16) else 3
     out = pl.pallas_call(
-        _make_kernel(tile_n, chunk, d, mode),
+        _make_kernel(tile_n, chunk, d, mode, x_p.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         interpret=interpret,
@@ -215,16 +222,17 @@ def _fwd(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret, mode,
         x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret, mode,
         splits,
     )
-    return out, (ids_sorted, splits)
+    return out, (ids_sorted, splits, jnp.zeros((0,), x_sorted.dtype))
 
 
 def _bwd(num_segments, tile_n, chunk, interpret, mode, res, g):
     import numpy as np
 
-    ids_sorted, splits = res
+    ids_sorted, splits, proto = res
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     dsplits = None if splits is None else f0(splits)
-    return jnp.take(g, ids_sorted, axis=0), f0(ids_sorted), dsplits
+    dx = jnp.take(g, ids_sorted, axis=0).astype(proto.dtype)
+    return dx, f0(ids_sorted), dsplits
 
 
 sorted_segment_sum_pallas.defvjp(_fwd, _bwd)

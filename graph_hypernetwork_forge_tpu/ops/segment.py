@@ -45,7 +45,13 @@ def segment_sum(
     num_segments: int,
     indices_are_sorted: bool = False,
 ) -> jax.Array:
-    """Sum ``data`` rows into ``num_segments`` buckets keyed by ``segment_ids``."""
+    """Sum ``data`` rows into ``num_segments`` buckets keyed by ``segment_ids``.
+
+    bf16 data (speed mode) is upcast so the reduction accumulates in f32 —
+    the convert fuses into the scatter read, wire bytes stay bf16.
+    """
+    if data.dtype == jnp.bfloat16:
+        data = data.astype(jnp.float32)
     return jax.ops.segment_sum(
         data,
         segment_ids,
@@ -142,9 +148,8 @@ def sorted_segment_sum(
         d_pad = -(-d // 128) * 128
         if d_pad != d:
             # Sub-lane widths wedge Mosaic, so pad the column axis to the
-            # 128-lane width. The pad copy costs ~2x the useful traffic at
-            # d=64, but the kernel's ~600 GB/s vs the ~50 GB/s XLA
-            # sorted-hint lowering still nets ~2x end to end.
+            # 128-lane width (measured neutral-to-winning vs the XLA
+            # lowering depending on d % 128).
             out = sorted_segment_sum_pallas(
                 jnp.pad(values_sorted, ((0, 0), (0, d_pad - d))),
                 ids_sorted, num_segments,
@@ -155,6 +160,11 @@ def sorted_segment_sum(
             values_sorted, ids_sorted, num_segments,
             splits=splits[: num_segments + 1],
         )
+    if values_sorted.dtype == jnp.bfloat16:
+        # Speed-mode (bf16 activation storage): XLA's segment_sum would
+        # accumulate in bf16 — upcast so the reduction accumulates in f32
+        # (the convert fuses into the scatter read; wire bytes stay bf16).
+        values_sorted = values_sorted.astype(jnp.float32)
     return jax.ops.segment_sum(
         values_sorted, ids_sorted, num_segments=num_segments,
         indices_are_sorted=True,
@@ -221,14 +231,18 @@ def take_rows_sorted(
 def _take_rows_sorted_fwd(num_rows, table, idx, perm_to_sorted, idx_sorted,
                           splits=None):
     out = jnp.take(table, idx, axis=0)
-    return out, (idx, perm_to_sorted, idx_sorted, splits)
+    # dtype carrier: residuals must be JAX types, so thread the table dtype
+    # via a zero-size array.
+    proto = jnp.zeros((0,), table.dtype)
+    return out, (idx, perm_to_sorted, idx_sorted, splits, proto)
 
 
 def _take_rows_sorted_bwd(num_rows, res, g):
-    idx, perm_to_sorted, idx_sorted, splits = res
+    idx, perm_to_sorted, idx_sorted, splits, proto = res
     if perm_to_sorted is not None:
         g = jnp.take(g, perm_to_sorted, axis=0, unique_indices=True)
     dtable = sorted_segment_sum(g, idx_sorted, num_rows, splits)
+    dtable = dtable.astype(proto.dtype)
     dperm = None if perm_to_sorted is None else _float0_like(perm_to_sorted)
     dsplits = None if splits is None else _float0_like(splits)
     return (dtable, _float0_like(idx), dperm, _float0_like(idx_sorted),
