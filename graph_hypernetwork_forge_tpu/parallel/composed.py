@@ -85,6 +85,28 @@ class ComposedInputs:
     # is relation-sorted (``rel_sort_local=True``) — enables the grouped
     # (ragged_dot) contribution backend in the composed step.
     rel_group_sizes: Optional[np.ndarray] = None
+    # Per-shard sort-free aggregation plan (the composed analogue of
+    # ``SortPlan``): XLA lowers every unsorted in-shard segment-sum on TPU
+    # to a device key sort per layer; with these host-precomputed arrays
+    # the step reduces via bijective permute + sorted-hint segment-sum
+    # (CSR Pallas kernel at d % 128 == 0 on TPU) and skips the per-layer
+    # count scatter entirely (degrees are static). Shard-major layouts so
+    # ``P(axis)`` slices each device's block.
+    agg_dst_perm: Optional[np.ndarray] = None    # [k*cap] local row perm
+    agg_inv_perm: Optional[np.ndarray] = None    # [k*cap]
+    agg_dst_sorted: Optional[np.ndarray] = None  # [k*cap] local dst, sorted
+    agg_dst_splits: Optional[np.ndarray] = None  # [k, npp+1] CSR bounds
+    agg_in_degree: Optional[np.ndarray] = None   # [k, npp] masked degrees
+
+    @property
+    def agg_plan(self):
+        """The 5-tuple the step's ``agg_plan=`` kwarg expects (or None)."""
+        if self.agg_dst_perm is None:
+            return None
+        return (
+            self.agg_dst_perm, self.agg_inv_perm, self.agg_dst_sorted,
+            self.agg_dst_splits, self.agg_in_degree,
+        )
 
 
 def prepare_composed_inputs(
@@ -160,6 +182,37 @@ def prepare_composed_inputs(
             rel_group_sizes[j] = np.bincount(rel[sl], minlength=u_pad)
         src_halo = sh
 
+    # Per-shard sort-free aggregation plan over the FINAL edge layout
+    # (must follow any rel_sort_local reorder).
+    cap = src.shape[0] // num_shards
+    agg_perm = np.empty(num_shards * cap, dtype=np.int32)
+    agg_inv = np.empty(num_shards * cap, dtype=np.int32)
+    agg_sorted = np.empty(num_shards * cap, dtype=np.int32)
+    agg_splits = np.empty((num_shards, npp + 1), dtype=np.int32)
+    agg_indeg = np.empty((num_shards, npp), dtype=np.float32)
+    node_bounds = np.arange(npp + 1, dtype=np.int32)
+    for j in range(num_shards):
+        sl = slice(j * cap, (j + 1) * cap)
+        ldst = (np.asarray(dst[sl]) - j * npp).astype(np.int64)
+        order = np.argsort(ldst, kind="stable").astype(np.int32)
+        agg_perm[sl] = order
+        inv = np.empty(cap, dtype=np.int32)
+        inv[order] = np.arange(cap, dtype=np.int32)
+        agg_inv[sl] = inv
+        ds = ldst[order].astype(np.int32)
+        agg_sorted[sl] = ds
+        agg_splits[j] = np.searchsorted(ds, node_bounds, side="left")
+        # Masked pad rows on high shards can carry an out-of-range dst
+        # (partition pads point at min(owner_first, n-1)); their mask
+        # weight is 0, so clipping only keeps bincount's index domain
+        # valid. In the sorted reduction they fall outside every node
+        # interval and are dropped, matching unsorted segment_sum.
+        agg_indeg[j] = np.bincount(
+            np.clip(ldst, 0, npp - 1),
+            weights=np.asarray(mask[sl], dtype=np.float64),
+            minlength=npp,
+        )[:npp].astype(np.float32)
+
     return ComposedInputs(
         feats=feats,
         src=src,
@@ -174,6 +227,11 @@ def prepare_composed_inputs(
         send_idx=send_idx,
         halo_width=halo_width,
         rel_group_sizes=rel_group_sizes,
+        agg_dst_perm=agg_perm,
+        agg_inv_perm=agg_inv,
+        agg_dst_sorted=agg_sorted,
+        agg_dst_splits=agg_splits,
+        agg_in_degree=agg_indeg,
     )
 
 
@@ -189,6 +247,7 @@ def make_composed_train_step(
     halo_width: Optional[int] = None,
     neg_mode: Optional[str] = None,
     contrib: str = "dense",
+    agg_sorted: bool = False,
 ):
     """Jitted fully-sharded train step (fwd + bwd + Adam) on one mesh axis.
 
@@ -232,6 +291,16 @@ def make_composed_train_step(
       production path at large U. Requires
       ``prepare_composed_inputs(rel_sort_local=True)`` and its
       ``rel_group_sizes`` passed to the step.
+
+    ``agg_sorted=True`` brings the single-chip SortPlan discipline to the
+    in-shard aggregation: XLA lowers each shard's unsorted per-layer
+    segment-sums to device key sorts on TPU; with the host-precomputed
+    per-shard plan (``ComposedInputs.agg_*``, passed to the step) the
+    reduction runs as bijective permute + sorted-hint segment-sum (the
+    CSR Pallas kernel at d % 128 == 0 on TPU), the per-layer count
+    scatter disappears (degrees are static), and the two contribution
+    streams reduce as one summed ``[cap, d]`` pass. Numerics differ from
+    the unsorted path only by reduction order / a single final divide.
     """
     import optax
 
@@ -250,7 +319,7 @@ def make_composed_train_step(
         raise ValueError(f"unknown contrib backend: {contrib!r}")
 
     def forward_local(params, feats_l, src_l, dst_l, rel_l, mask_l,
-                      chars_l, lens_l, send_l, gs_l, drop_rng):
+                      chars_l, lens_l, send_l, gs_l, agg_l, drop_rng):
         """Per-device forward over the local node/edge/relation shards.
 
         Runs INSIDE shard_map: ``feats_l [npp, F]``, edge arrays are the
@@ -338,15 +407,33 @@ def make_composed_train_step(
                     hw[rel_l, src_rows] + w["bias"][rel_l]
                 ) * mask_l[:, None]
                 selfc = hw[rel_l + u, self_rows] * mask_l[:, None]
-            agg = jax.ops.segment_sum(msg, local_dst, num_segments=nodes_per_shard)
-            selft = jax.ops.segment_sum(
-                selfc, local_dst, num_segments=nodes_per_shard
-            )
-            cnt = jax.ops.segment_sum(
-                mask_l, local_dst, num_segments=nodes_per_shard
-            )
-            cnt = jnp.maximum(cnt, 1.0)[:, None]
-            h_new = agg / cnt + selft / cnt
+            if agg_sorted:
+                # Sort-free in-shard tail: one summed [cap, d] reduction in
+                # dst-sorted order (host-precomputed per-shard plan), static
+                # degree counts — zero per-layer key sorts on TPU.
+                from graph_hypernetwork_forge_tpu.ops.segment import (
+                    sorted_segment_sum_by_plan,
+                )
+
+                perm_l, inv_l, dsort_l, splits_l, indeg_l = agg_l
+                total = sorted_segment_sum_by_plan(
+                    msg + selfc, perm_l, inv_l, dsort_l, nodes_per_shard,
+                    splits_l[0],
+                )
+                cnt = jnp.maximum(indeg_l[0], 1.0)[:, None]
+                h_new = total / cnt
+            else:
+                agg = jax.ops.segment_sum(
+                    msg, local_dst, num_segments=nodes_per_shard
+                )
+                selft = jax.ops.segment_sum(
+                    selfc, local_dst, num_segments=nodes_per_shard
+                )
+                cnt = jax.ops.segment_sum(
+                    mask_l, local_dst, num_segments=nodes_per_shard
+                )
+                cnt = jnp.maximum(cnt, 1.0)[:, None]
+                h_new = agg / cnt + selft / cnt
             h_new = jax.nn.relu(h_new + h_local)
             if use_dropout:
                 keep = jax.random.bernoulli(
@@ -369,6 +456,8 @@ def make_composed_train_step(
             P(axis),        # src for layers (global or local++halo remapped)
             P(axis, None, None),                 # send_idx by owner (halo)
             P(axis, None),  # per-shard ragged group sizes (grouped contrib)
+            (P(axis), P(axis), P(axis), P(axis, None), P(axis, None)),
+            #               ^ per-shard sort-free aggregation plan
             P(axis),        # neg_dst: edge-sharded
             P(),            # dropout rng (replicated; folded per device)
         ),
@@ -377,10 +466,10 @@ def make_composed_train_step(
     )
     def _loss_shard_global(params, feats_l, src_l, dst_l, rel_l, mask_l,
                            chars_l, lens_l, src_layers_l, send_l, gs_l,
-                           neg_l, drop_rng):
+                           agg_l, neg_l, drop_rng):
         h_local = forward_local(
             params, feats_l, src_layers_l, dst_l, rel_l, mask_l, chars_l,
-            lens_l, send_l, gs_l, drop_rng,
+            lens_l, send_l, gs_l, agg_l, drop_rng,
         )
         # Scoring needs arbitrary rows: assemble the full embeddings once.
         embs = jax.lax.all_gather(h_local, axis, tiled=True)
@@ -403,6 +492,8 @@ def make_composed_train_step(
             P(axis, None), P(axis),              # relations sharded
             P(axis, None, None),                 # send_idx by owner
             P(axis, None),  # per-shard ragged group sizes (grouped contrib)
+            (P(axis), P(axis), P(axis), P(axis, None), P(axis, None)),
+            #               ^ per-shard sort-free aggregation plan
             P(),            # negative rng (replicated; folded per device)
             P(),            # dropout rng (replicated; folded per device)
         ),
@@ -410,10 +501,11 @@ def make_composed_train_step(
         check_vma=False,
     )
     def _loss_shard_local(params, feats_l, srch_l, dst_l, rel_l, mask_l,
-                          chars_l, lens_l, send_l, gs_l, neg_rng, drop_rng):
+                          chars_l, lens_l, send_l, gs_l, agg_l, neg_rng,
+                          drop_rng):
         h_local = forward_local(
             params, feats_l, srch_l, dst_l, rel_l, mask_l, chars_l,
-            lens_l, send_l, gs_l, drop_rng,
+            lens_l, send_l, gs_l, agg_l, drop_rng,
         )
         my_idx = jax.lax.axis_index(axis)
         k = send_l.shape[1]
@@ -449,7 +541,8 @@ def make_composed_train_step(
 
     @jax.jit
     def step(params, opt_state, feats, src, dst, rel, mask, chars, lens,
-             rng, src_halo=None, send_idx=None, rel_group_sizes=None):
+             rng, src_halo=None, send_idx=None, rel_group_sizes=None,
+             agg_plan=None):
         neg_rng, drop_rng = jax.random.split(rng)
         if config.dropout <= 0.0:
             drop_rng = None
@@ -473,12 +566,26 @@ def make_composed_train_step(
         elif rel_group_sizes is None:
             k = mesh.shape[axis]
             rel_group_sizes = jnp.zeros((k, 1), dtype=jnp.int32)  # inert
+        if agg_sorted:
+            if agg_plan is None:
+                raise ValueError(
+                    "agg_sorted=True: step needs agg_plan=(dst_perm, "
+                    "inv_perm, dst_sorted, dst_splits, in_degree) from "
+                    "prepare_composed_inputs"
+                )
+        elif agg_plan is None:
+            k = mesh.shape[axis]
+            z = jnp.zeros((k,), dtype=jnp.int32)  # inert
+            agg_plan = (
+                z, z, z, jnp.zeros((k, 1), jnp.int32),
+                jnp.zeros((k, 1), jnp.float32),
+            )
 
         if neg_mode == "local_roll":
             def loss_fn(p):
                 return _loss_shard_local(
                     p, feats, src_halo, dst, rel, mask, chars, lens,
-                    send_idx, rel_group_sizes, neg_rng, drop_rng
+                    send_idx, rel_group_sizes, agg_plan, neg_rng, drop_rng
                 )
         else:
             neg_dst = jax.random.randint(
@@ -490,7 +597,7 @@ def make_composed_train_step(
             def loss_fn(p):
                 return _loss_shard_global(
                     p, feats, src, dst, rel, mask, chars, lens, src_layers,
-                    send_idx, rel_group_sizes, neg_dst, drop_rng
+                    send_idx, rel_group_sizes, agg_plan, neg_dst, drop_rng
                 )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -273,6 +273,64 @@ def test_composed_local_scoring_matches_oracle():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_composed_agg_sorted_matches_unsorted():
+    """agg_sorted=True (host-precomputed per-shard sort-free aggregation:
+    bijective permute + sorted-hint reduction + static degree counts) ==
+    the unsorted-scatter step, in both dense and halo/local_roll modes."""
+    graph, feats, config, params = _setup(seed=13)
+    k = 4
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    optimizer = optax.adam(1e-2)
+    rng = jax.random.PRNGKey(41)
+
+    for halo in (False, True):
+        inputs = prepare_composed_inputs(graph, feats, k, halo=halo)
+        assert inputs.agg_plan is not None
+        # The plan must describe the stored layout exactly.
+        cap = inputs.src.shape[0] // k
+        for j in range(k):
+            sl = slice(j * cap, (j + 1) * cap)
+            ldst = inputs.dst[sl] - j * inputs.nodes_per_shard
+            np.testing.assert_array_equal(
+                ldst[inputs.agg_dst_perm[sl]], inputs.agg_dst_sorted[sl]
+            )
+        arrays = tuple(
+            jnp.asarray(a) for a in (
+                inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+                inputs.edge_mask, inputs.char_ids, inputs.lengths,
+            )
+        )
+        kwargs = {}
+        hw = None
+        if halo:
+            hw = inputs.halo_width
+            kwargs = dict(
+                src_halo=jnp.asarray(inputs.src_halo),
+                send_idx=jnp.asarray(inputs.send_idx),
+            )
+
+        def run(agg_sorted):
+            step = make_composed_train_step(
+                mesh, config, optimizer, inputs.nodes_per_shard,
+                num_nodes=inputs.num_nodes, halo_width=hw,
+                agg_sorted=agg_sorted,
+            )
+            kw = dict(kwargs)
+            if agg_sorted:
+                kw["agg_plan"] = tuple(
+                    jnp.asarray(a) for a in inputs.agg_plan
+                )
+            return step(params, optimizer.init(params), *arrays, rng, **kw)
+
+        p_ref, _, l_ref = run(False)
+        p_srt, _, l_srt = run(True)
+        np.testing.assert_allclose(float(l_srt), float(l_ref), atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_srt), jax.tree_util.tree_leaves(p_ref)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
 def test_composed_grouped_contrib_matches_oracle():
     """contrib='grouped' (per-device ragged_dot over the shard's
     rel-sorted slice — O(E/k · d²) per device instead of the dense
