@@ -219,6 +219,89 @@ def main():
             results[(variant, k)] = row
             print(json.dumps(row))
 
+    # 2D composition: edge sharding × Megatron TP in one program
+    # (parallel/composed_tp.py). The wire-bytes story: the per-layer bank
+    # all_gather rides the edge axis with [U, d_in/k_m, d_out] shards —
+    # bank traffic ÷ k_m vs the 1D step — at the cost of one [cap, D]
+    # activation psum(model) per layer (Megatron's standard trade).
+    from graph_hypernetwork_forge_tpu.parallel.composed_tp import (
+        make_composed_tp_train_step,
+        shard_composed_tp_params,
+    )
+
+    def bank_bytes_1d(k_e, u_pad):
+        return (k_e - 1) * (u_pad // k_e) * (2 * D * D + D) * 4
+
+    def bank_bytes_2d(k_e, k_m, u_pad):
+        return (k_e - 1) * (u_pad // k_e) * (2 * D * (D // k_m) + D) * 4
+
+    for k_e, k_m in ((2, 2), (4, 2), (2, 4)):
+        mesh = make_mesh((k_e, k_m), ("edge", "model"),
+                         devices=jax.devices()[: k_e * k_m])
+        inputs = prepare_composed_inputs(graph, feats, k_e, halo=True)
+        step = make_composed_tp_train_step(
+            mesh, config, optimizer, inputs.nodes_per_shard,
+            halo_width=inputs.halo_width,
+        )
+        arrays = tuple(
+            jnp.asarray(a) for a in (
+                inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+                inputs.edge_mask, inputs.char_ids, inputs.lengths,
+            )
+        )
+        kwargs = dict(
+            src_halo=jnp.asarray(inputs.src_halo),
+            send_idx=jnp.asarray(inputs.send_idx),
+        )
+        params = shard_composed_tp_params(
+            jax.tree_util.tree_map(jnp.asarray, base_params), config, mesh
+        )
+        opt_state = optimizer.init(params)
+        rng = jax.random.PRNGKey(1)
+        flops = per_device_flops(step, params, opt_state, arrays, rng, kwargs)
+        params, opt_state, loss = step(params, opt_state, *arrays, rng, **kwargs)
+        float(loss)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rng, sr = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, *arrays, sr, **kwargs
+            )
+            float(loss)
+        dt = time.perf_counter() - t0
+        u_pad = inputs.char_ids.shape[0]
+        cap = inputs.src.shape[0] // k_e
+        # Ring psum of the [cap, D] contribution partials per layer, fwd;
+        # transposes to a broadcast-equivalent in bwd (x2).
+        psum_act = 2 * L * 2 * (k_m - 1) * cap * D * 4 // k_m
+        row = {
+            "variant": "halo-tp2d",
+            "devices": k_e * k_m,
+            "k_edge": k_e,
+            "k_model": k_m,
+            "edges": E,
+            "nodes": N,
+            "halo_width": inputs.halo_width,
+            "flops_per_device": flops,
+            "fwd_bwd_edges_per_s": round(reps * E / dt, 1),
+            "step_ms": round(1e3 * dt / reps, 2),
+            "bank_wire_mib_per_dev_1d": round(
+                2 * L * bank_bytes_1d(k_e, u_pad) / 2**20, 3
+            ),
+            "bank_wire_mib_per_dev_2d": round(
+                2 * L * bank_bytes_2d(k_e, k_m, u_pad) / 2**20, 3
+            ),
+            "bank_wire_division": round(
+                bank_bytes_1d(k_e, u_pad) / bank_bytes_2d(k_e, k_m, u_pad), 3
+            ),
+            "tp_activation_psum_mib_per_dev": round(psum_act / 2**20, 3),
+            "host_cores": host_cores,
+            "loss": round(float(loss), 4),
+        }
+        results[("halo-tp2d", (k_e, k_m))] = row
+        print(json.dumps(row))
+
     plan = build_halo_plan(
         graph.src, graph.dst, graph.rel_ids, graph.edge_mask, N, 4
     )
@@ -244,6 +327,9 @@ def main():
             halo_bytes_per_device(plan, D)
             / allgather_bytes_per_device(plan, D), 4,
         ),
+        "tp2d_bank_wire_division_4x2": results[("halo-tp2d", (4, 2))][
+            "bank_wire_division"
+        ],
         "host_cores": host_cores,
         "note": (
             "wall-clock on a virtual CPU mesh is bounded by host cores "

@@ -51,8 +51,14 @@ def run(name, e, n, d, reps=5, fused=10):
     def bench(fn, label):
         def prog(x, ids):
             def body(c, _):
-                out = fn(x + c, ids)
-                return jnp.sum(out) * 1e-20, jnp.sum(out * out)
+                # Loop-carried optimization_barrier ties x to the carry so
+                # the (loop-invariant) reduction cannot be hoisted out of
+                # the scan — WITHOUT the old `x + c` trick, whose extra
+                # [E, d] read+write pass was wrongly attributed to the
+                # kernel (round-3 README quoted the contaminated number).
+                xb, cb = jax.lax.optimization_barrier((x, c))
+                out = fn(xb, ids)
+                return cb + jnp.sum(out) * 1e-20, jnp.sum(out * out)
 
             _, ys = jax.lax.scan(body, jnp.float32(0.0), length=fused)
             return ys

@@ -41,7 +41,8 @@ from graph_hypernetwork_forge_tpu.training.evaluate import (
 from graph_hypernetwork_forge_tpu.training.train import make_train_step
 
 
-def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine"):
+def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
+            adv_temp=0.0):
     train_ei, train_texts = kg.split_edges("train")
     test_ei, test_texts = kg.split_edges("test")
     graph = encode_graph(
@@ -60,7 +61,10 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine"):
         sched = lr
     optimizer = optax.adam(sched)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(config, optimizer, num_negatives=num_negatives)
+    step_fn = make_train_step(
+        config, optimizer, num_negatives=num_negatives,
+        adversarial_temperature=adv_temp,
+    )
 
     rng = jax.random.PRNGKey(seed + 1)
     t0 = time.perf_counter()
@@ -82,6 +86,7 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine"):
         "seed": seed,
         "steps": steps,
         "lr_schedule": lr_schedule,
+        "adv_temp": adv_temp,
         "final_loss": round(final_loss, 4),
         "train_s": round(train_s, 1),
     }
@@ -109,6 +114,8 @@ def main():
     p.add_argument("--seeds", default="0,1,2")
     p.add_argument("--lr-schedule", default="cosine",
                    choices=["constant", "cosine"])
+    p.add_argument("--adv-temp", type=float, default=0.0,
+                   help="self-adversarial negative temperature (0 = uniform)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -133,13 +140,14 @@ def main():
             )
             row = run_one(
                 kg, config, k, args.steps, args.lr, seed,
-                lr_schedule=args.lr_schedule,
+                lr_schedule=args.lr_schedule, adv_temp=args.adv_temp,
             )
             emit(row)
             rows.append(row)
         agg = {"aggregate": True, "num_negatives": k,
                "lr_schedule": args.lr_schedule, "steps": args.steps,
-               "scale": args.scale, "n_seeds": len(seeds)}
+               "scale": args.scale, "adv_temp": args.adv_temp,
+               "n_seeds": len(seeds)}
         for key in ("mrr", "hits@10", "zero_shot_mrr", "zero_shot_hits@10"):
             vals = [r[key] for r in rows if key in r]
             if vals:

@@ -49,6 +49,16 @@ from graph_hypernetwork_forge_tpu.utils.metrics import (  # noqa: E402
 
 
 def build_dataset(name: str, scale: float, seed: int):
+    import os
+
+    if os.path.isdir(name):
+        # A directory of standard triples files (train/valid/test.txt +
+        # optional relation_texts.txt): real-benchmark ingestion.
+        from graph_hypernetwork_forge_tpu.data.triples import (
+            load_triples_dataset,
+        )
+
+        return load_triples_dataset(name, seed=seed)
     if name == "fb15k237":
         return fb15k237_like(seed=seed, scale=scale)
     if name == "wn18rr-zeroshot":
@@ -65,7 +75,9 @@ def main(argv=None) -> int:
     p.add_argument(
         "--dataset",
         default="tiny",
-        choices=["tiny", "fb15k237", "wn18rr-zeroshot"],
+        help="'tiny', 'fb15k237', 'wn18rr-zeroshot' (synthetic), or a "
+             "directory of standard triples files (train/valid/test.txt "
+             "+ optional relation_texts.txt) for real benchmarks",
     )
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--steps", type=int, default=100)

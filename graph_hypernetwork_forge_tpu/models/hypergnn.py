@@ -101,6 +101,11 @@ class HyperGNNConfig:
     def __post_init__(self):
         if self.num_layers < 1:
             raise ValueError("num_layers must be at least 1")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "compute_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.compute_dtype!r}"
+            )
 
     @property
     def text_encoder(self) -> TextEncoderConfig:

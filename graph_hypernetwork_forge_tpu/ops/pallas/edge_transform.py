@@ -148,9 +148,9 @@ def _edge_transform_fwd_impl(
         cost_estimate=pl.CostEstimate(
             flops=4 * e_pad * d_in * d_out,
             bytes_accessed=(
-                2 * e_pad * d_in * 4
-                + 2 * num_tiles * d_in * d_out * 4
-                + 2 * e_pad * d_out * 4
+                2 * e_pad * d_in * x_src.dtype.itemsize
+                + 2 * num_tiles * d_in * d_out * w_msg.dtype.itemsize
+                + 2 * e_pad * d_out * x_src.dtype.itemsize
             ),
             transcendentals=0,
         ),
@@ -225,9 +225,9 @@ def _edge_transform_combined_impl(
         cost_estimate=pl.CostEstimate(
             flops=4 * e_pad * d_in * d_out,
             bytes_accessed=(
-                2 * e_pad * d_in * 4
-                + 2 * num_tiles * d_in * d_out * 4
-                + e_pad * d_out * 4
+                2 * e_pad * d_in * x_src.dtype.itemsize
+                + 2 * num_tiles * d_in * d_out * w_msg.dtype.itemsize
+                + e_pad * d_out * x_src.dtype.itemsize
             ),
             transcendentals=0,
         ),

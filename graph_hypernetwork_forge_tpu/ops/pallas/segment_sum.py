@@ -187,7 +187,7 @@ def _impl(x_sorted, ids_sorted, num_segments, tile_n, chunk, interpret,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * e * tile_n * d * passes,
-            bytes_accessed=e * d * 4 + n_pad * d * 4,
+            bytes_accessed=e * d * x_p.dtype.itemsize + n_pad * d * 4,
             transcendentals=0,
         ),
     )(row_start, starts, ends, x_p)

@@ -53,6 +53,7 @@ def multi_negative_loss(
     neg_dst: jax.Array,
     margin: float = 1.0,
     edge_mask: Optional[jax.Array] = None,
+    adversarial_temperature: float = 0.0,
 ) -> jax.Array:
     """Margin-ranking loss averaged over K corrupted tails per positive.
 
@@ -62,14 +63,28 @@ def multi_negative_loss(
     negatives per positive sharpen the ranking gradient — the standard
     KG-embedding recipe the reference's single-permutation scheme
     (``demo.py:93``) is the K=1 special case of.
+
+    ``adversarial_temperature`` > 0 enables RotatE-style self-adversarial
+    weighting: each negative's hinge is weighted by
+    ``softmax(T * stop_grad(neg_score))`` over its K candidates, so
+    gradient mass concentrates on the HARDEST (highest-scoring) negatives
+    instead of being diluted over easy ones. This is the standard fix when
+    uniform corrupted tails saturate the margin (train loss → 0 while
+    ranking stalls — exactly the large-candidate-set regime). ``T = 0``
+    recovers the uniform mean.
     """
     from graph_hypernetwork_forge_tpu.ops.scoring import score_candidate_sets
 
     pos = score_triple(embs[src], embs[dst])  # [B]
     neg = score_candidate_sets(embs, src, neg_dst)  # [B, K]
-    per_pair = jnp.mean(
-        jnp.maximum(margin - pos[:, None] + neg, 0.0), axis=1
-    )
+    hinge = jnp.maximum(margin - pos[:, None] + neg, 0.0)  # [B, K]
+    if adversarial_temperature > 0.0:
+        w = jax.nn.softmax(
+            adversarial_temperature * jax.lax.stop_gradient(neg), axis=1
+        )
+        per_pair = jnp.sum(w * hinge, axis=1)
+    else:
+        per_pair = jnp.mean(hinge, axis=1)
     if edge_mask is None:
         return jnp.mean(per_pair)
     return jnp.sum(per_pair * edge_mask) / jnp.maximum(jnp.sum(edge_mask), 1.0)

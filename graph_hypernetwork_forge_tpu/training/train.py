@@ -54,6 +54,7 @@ def make_train_step(
     num_pos_samples: Optional[int] = None,
     neg_mode: str = "uniform",
     num_negatives: int = 1,
+    adversarial_temperature: float = 0.0,
 ) -> Callable:
     """Build a jitted ``(params, opt_state, node_features, graph arrays, rng)
     → (params, opt_state, loss)`` step.
@@ -82,6 +83,11 @@ def make_train_step(
     and averages the hinge over them (:func:`multi_negative_loss`) — the
     standard ranking-sharpening recipe for zero-shot MRR. ``uniform`` mode
     only.
+
+    ``adversarial_temperature``: T > 0 weights each positive's K negatives
+    by ``softmax(T * stop_grad(neg_score))`` (self-adversarial negative
+    sampling) — concentrates gradient on hard negatives when the uniform
+    hinge saturates at large candidate counts. Requires K > 1.
     """
     if neg_mode not in ("uniform", "roll"):
         raise ValueError(f"unknown neg_mode: {neg_mode!r}")
@@ -92,6 +98,8 @@ def make_train_step(
         raise ValueError(f"num_negatives must be >= 1, got {num_negatives}")
     if num_negatives > 1 and neg_mode != "uniform":
         raise ValueError("num_negatives > 1 requires neg_mode='uniform'")
+    if adversarial_temperature > 0.0 and num_negatives <= 1:
+        raise ValueError("adversarial_temperature requires num_negatives > 1")
 
     def loss_fn(params, node_features, src, dst, rel_ids, edge_mask, char_ids,
                 text_lengths, pos_src, pos_dst, pos_mask, neg_dst,
@@ -120,6 +128,7 @@ def make_train_step(
             return multi_negative_loss(
                 embs, pos_src, pos_dst, neg_dst, margin=margin,
                 edge_mask=pos_mask,
+                adversarial_temperature=adversarial_temperature,
             )
         return link_prediction_loss(
             embs, pos_src, pos_dst, neg_dst, margin=margin, edge_mask=pos_mask

@@ -289,3 +289,59 @@ class TestSortFreeTraining:
         with pytest.raises(ValueError):
             make_train_step(cfg, optax.adam(1e-3), neg_mode="roll",
                             num_pos_samples=8)
+
+
+class TestSortFreeHLO:
+    """Structural lock on the flagship optimization: the SortPlan train
+    step must compile to an HLO module with ZERO sort ops (XLA lowers every
+    unsorted scatter/argsort to a full key sort on TPU — the 4x runtime /
+    25x compile win documented in README). The unsorted grouped path is the
+    control: it MUST contain a sort, proving the assertion has teeth.
+
+    Reference semantics being de-sorted: mean aggregation + averaged W_self
+    of /root/reference/graph_hypernetwork_forge/models/hypergnn.py:207-220.
+    """
+
+    def _lowered_text(self, cfg, g, feats, neg_mode, sort_plan):
+        import optax
+        from graph_hypernetwork_forge_tpu.models.hypergnn import init_hypergnn
+        from graph_hypernetwork_forge_tpu.training.train import make_train_step
+
+        params = init_hypergnn(cfg, jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        step = make_train_step(cfg, opt, neg_mode=neg_mode)
+        opt_state = opt.init(params)
+        arrays = tuple(jnp.asarray(a) for a in g.arrays)
+        lowered = step.lower(
+            params, opt_state, feats, *arrays, jax.random.PRNGKey(1),
+            sort_plan=sort_plan,
+        )
+        return lowered.compile().as_text()
+
+    def test_sort_plan_step_compiles_sort_free(self):
+        rng = np.random.default_rng(11)
+        n, e, u, d = 24, 120, 5, 16
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        texts = [f"relation number {i}" for i in range(u)]
+        etexts = [texts[i] for i in rng.integers(0, u, e)]
+        g = encode_graph(ei, etexts, n, sort_by_relation=True,
+                         with_sort_plan=True)
+        feats = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        cfg = HyperGNNConfig(
+            text_dim=16, node_feat_dim=d, hidden_dim=d, num_layers=2,
+            backend="grouped", rel_sorted=True,
+        )
+        hlo = self._lowered_text(cfg, g, feats, "roll", g.sort_plan)
+        assert "sort(" not in hlo, (
+            "SortPlan train step regressed: compiled HLO contains a sort"
+        )
+
+        # Control: the same graph through the unsorted grouped path (in-jit
+        # argsort per layer) must contain a sort — otherwise the assertion
+        # above is vacuous.
+        cfg_unsorted = HyperGNNConfig(
+            text_dim=16, node_feat_dim=d, hidden_dim=d, num_layers=2,
+            backend="grouped", rel_sorted=False,
+        )
+        hlo_ctrl = self._lowered_text(cfg_unsorted, g, feats, "uniform", None)
+        assert "sort(" in hlo_ctrl, "control lost its sort; test is vacuous"

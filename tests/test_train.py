@@ -125,6 +125,47 @@ class TestMultiNegative:
             make_train_step(
                 config, optimizer, num_negatives=4, neg_mode="roll"
             )
+        with pytest.raises(ValueError):
+            make_train_step(
+                config, optimizer, num_negatives=1,
+                adversarial_temperature=1.0,
+            )
+
+    def test_adversarial_weighting(self):
+        """T=0 is the uniform mean; T→∞ approaches the max-hinge negative;
+        weights follow stop_grad(neg_score) softmax exactly."""
+        from graph_hypernetwork_forge_tpu.training import multi_negative_loss
+
+        rng = np.random.default_rng(5)
+        n, b, k, d = 14, 9, 6, 8
+        embs = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        src = jnp.asarray(rng.integers(0, n, b))
+        dst = jnp.asarray(rng.integers(0, n, b))
+        neg = jnp.asarray(rng.integers(0, n, (b, k)))
+
+        uniform = multi_negative_loss(embs, src, dst, neg)
+        t0 = multi_negative_loss(embs, src, dst, neg,
+                                 adversarial_temperature=0.0)
+        np.testing.assert_allclose(float(t0), float(uniform), atol=1e-7)
+
+        # Manual softmax-weighted oracle at T = 2.
+        e_np = np.asarray(embs)
+        pos = (e_np[np.asarray(src)] * e_np[np.asarray(dst)]).sum(-1)
+        negs = (e_np[np.asarray(src)][:, None, :]
+                * e_np[np.asarray(neg)]).sum(-1)
+        hinge = np.maximum(1.0 - pos[:, None] + negs, 0.0)
+        z = np.exp(2.0 * (negs - negs.max(axis=1, keepdims=True)))
+        w = z / z.sum(axis=1, keepdims=True)
+        want = (w * hinge).sum(axis=1).mean()
+        got = multi_negative_loss(embs, src, dst, neg,
+                                  adversarial_temperature=2.0)
+        np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+        # Large T → hardest (highest-scoring) negative dominates.
+        hard = multi_negative_loss(embs, src, dst, neg,
+                                   adversarial_temperature=200.0)
+        want_hard = hinge[np.arange(b), negs.argmax(axis=1)].mean()
+        np.testing.assert_allclose(float(hard), want_hard, rtol=1e-4)
 
 
 def test_zero_shot_mrr_regression_floor():
