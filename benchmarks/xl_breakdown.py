@@ -50,6 +50,9 @@ K = 10
 REPS = 3
 
 
+STAGE_MS = {}
+
+
 def bench(label, fn, *args):
     def prog(*a):
         def body(c, _):
@@ -65,6 +68,7 @@ def bench(label, fn, *args):
     for _ in range(REPS):
         np.asarray(g(*args))
     dt = (time.perf_counter() - t0) / (REPS * K)
+    STAGE_MS[label] = dt * 1e3
     print(json.dumps({"stage": label, "ms": round(dt * 1e3, 3)}), flush=True)
 
 
@@ -135,13 +139,90 @@ def main():
     bench("agg_tail_fwd", tail, x_edge)
     bench("agg_tail_fwd_bwd", lambda c, x: jnp.sum(jax.grad(tail, 1)(c, x)), x_edge)
 
-    # 4. End-to-end model fwd and full train step.
+    # 4. Generator heads + text encoder (per layer; the summary multiplies
+    # by num_layers) and the [N, d] residual/ReLU/LayerNorm epilogue.
     config = HyperGNNConfig(
         text_dim=64, node_feat_dim=D, hidden_dim=D, num_layers=2,
         rel_sorted=True,
     )
     params = init_hypergnn(config, jax.random.PRNGKey(0))
 
+    from graph_hypernetwork_forge_tpu.models.text_encoder import (
+        apply_text_encoder,
+    )
+    from graph_hypernetwork_forge_tpu.models.weight_generator import (
+        apply_weight_generator,
+    )
+    from graph_hypernetwork_forge_tpu.utils.initializers import (
+        layer_norm_apply,
+    )
+
+    chars, lens = arrays[4], arrays[5]
+    text_embs = apply_text_encoder(params["text_encoder"], chars, lens)
+
+    def gen_one(c, text):
+        w = apply_weight_generator(
+            config.weight_generator, params["weight_generators"][0], text + c
+        )
+        return jnp.sum(w["W_msg"]) + jnp.sum(w["W_self"]) + jnp.sum(w["bias"])
+
+    bench("generator_fwd_bwd_per_layer",
+          lambda c, t: gen_one(c, t) + jnp.sum(jax.grad(gen_one, 1)(c, t)),
+          text_embs)
+
+    def tenc(c, chars):
+        return jnp.sum(
+            apply_text_encoder(params["text_encoder"], chars, lens) + c
+        )
+
+    bench("text_encode_fwd", tenc, chars)
+
+    def epilogue(c, h_in, contrib_out):
+        out = h_in
+        for i in range(config.num_layers):
+            out = layer_norm_apply(
+                params["layer_norms"][i],
+                jax.nn.relu(out + contrib_out + c),
+            )
+        return jnp.sum(out)
+
+    bench(
+        "epilogue_fwd_bwd_all_layers",
+        lambda c, a, b: jnp.sum(jax.grad(epilogue, 1)(c, a, b)),
+        h, jnp.asarray(rng.standard_normal((N, D)).astype(np.float32)),
+    )
+
+    # 5. Scoring + loss (roll mode): two more [E, d] sort-free gathers fwd,
+    # two sorted reductions bwd — the stage the round-3 breakdown omitted.
+    from graph_hypernetwork_forge_tpu.training.objectives import (
+        link_prediction_loss_sorted,
+    )
+
+    def loss_stage(c, embs):
+        return link_prediction_loss_sorted(
+            embs + c, src, dst, plan, jnp.int32(12345), edge_mask=mask
+        )
+
+    bench("loss_roll_fwd", loss_stage, h)
+    bench(
+        "loss_roll_fwd_bwd",
+        lambda c, e: jnp.sum(jax.grad(loss_stage, 1)(c, e)), h,
+    )
+
+    # 6. Adam update on the full param pytree.
+    optimizer0 = optax.adam(1e-3)
+    ostate0 = optimizer0.init(params)
+    gshape = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def adam_stage(c, g):
+        gg = jax.tree_util.tree_map(lambda x: x + c, g)
+        updates, _ = optimizer0.update(gg, ostate0, params)
+        new_p = optax.apply_updates(params, updates)
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
+
+    bench("adam_update", adam_stage, gshape)
+
+    # 7. End-to-end model fwd, fwd+bwd, and the full train step.
     def fwd(c, feats):
         return jnp.sum(
             apply_hypergnn(
@@ -150,6 +231,10 @@ def main():
         )
 
     bench("model_fwd", fwd, feats)
+    bench(
+        "model_fwd_bwd",
+        lambda c, f: jnp.sum(jax.grad(fwd, 1)(c, f)), feats,
+    )
 
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
@@ -166,9 +251,44 @@ def main():
         r, sr = jax.random.split(r)
         p, o, loss = step(p, o, feats, *arrays, sr, sort_plan=plan)
         float(loss)
+    full_ms = 1e3 * (time.perf_counter() - t0) / steps
     print(json.dumps({
         "stage": "full_step_fwd_bwd_adam",
-        "ms": round(1e3 * (time.perf_counter() - t0) / steps, 3),
+        "ms": round(full_ms, 3),
+    }), flush=True)
+
+    # Accounting: the stages above compose the whole step. Per layer the
+    # backward pass runs contributions + the fused [E, 2d] tail; the loss
+    # adds two more sort-free [E, d] gathers (+ their reduction cotangents);
+    # generator/text/epilogue/Adam are the small fixed costs. Stage sums
+    # within ~10% of the measured step close round-3's ~115 ms gap.
+    s = STAGE_MS
+    layers = config.num_layers
+    expected = (
+        layers * s["contrib_fwd_bwd"]
+        + layers * s["agg_tail_fwd_bwd"]
+        + layers * s["generator_fwd_bwd_per_layer"]
+        + s["text_encode_fwd"]
+        + s["epilogue_fwd_bwd_all_layers"]
+        + s["loss_roll_fwd_bwd"]
+        + s["adam_update"]
+    )
+    print(json.dumps({
+        "stage": "sum_of_stages",
+        "ms": round(expected, 3),
+        "full_step_ms": round(full_ms, 3),
+        "coverage": round(expected / full_ms, 3),
+        "composition": {
+            "contrib(xL)": round(layers * s["contrib_fwd_bwd"], 1),
+            "agg_tail(xL)": round(layers * s["agg_tail_fwd_bwd"], 1),
+            "generator(xL)": round(
+                layers * s["generator_fwd_bwd_per_layer"], 1
+            ),
+            "text_encode": round(s["text_encode_fwd"], 1),
+            "epilogue": round(s["epilogue_fwd_bwd_all_layers"], 1),
+            "loss_roll": round(s["loss_roll_fwd_bwd"], 1),
+            "adam": round(s["adam_update"], 1),
+        },
     }), flush=True)
 
 

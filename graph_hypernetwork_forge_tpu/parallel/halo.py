@@ -290,3 +290,269 @@ def locality_relabel(
     perm = np.empty(num_nodes, dtype=np.int64)
     perm[order] = np.arange(num_nodes)
     return perm
+
+
+
+# ---------------------------------------------------------------------------
+# Pod-scale variant: scheduled ppermute rounds with per-round padding
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduledHaloPlan:
+    """Pod-shaped exchange plan: a schedule of ppermute ROUNDS, each a
+    partial permutation of (owner → consumer) pairs padded only to that
+    round's max boundary width.
+
+    The dense :class:`HaloPlan` pads every pair's ``all_to_all`` block to
+    the GLOBAL max boundary B and stores a ``[k, k, B]`` cube — O(k²·B)
+    memory, and one hot pair (a community straddling a partition cut)
+    inflates every pair's wire block (its own docstring flags this as the
+    pod-scale gap). Here the k·(k-1) pairs are bin-packed
+    first-fit-decreasing into rounds: each round is a matching (every
+    device sends to at most one peer and receives from at most one), a
+    pair only joins a round whose width is within ``slack``× its own, and
+    zero-width pairs never ship at all. ``lax.ppermute`` transmits ONLY the
+    listed pairs, so wire padding is bounded by ``slack`` (measured ~1.1 on
+    a clustered graph with one hot pair, vs 39× for the dense cube —
+    ``benchmarks/halo_skew.py``), plan memory is O(Σ_r k·B_r) ≈ O(Σ B_ij),
+    and uniform graphs degrade gracefully to a ring-like schedule.
+
+    Exactness is untouched: rows are copied verbatim, every dst's full
+    in-edge set stays on its owner, so the mean-aggregation semantics
+    (count clamp, averaged W_self, isolated-node zero — reference
+    ``/root/reference/graph_hypernetwork_forge/models/hypergnn.py:207-228``)
+    are bitwise the single-device computation.
+
+    ``src_halo`` indexes each consumer's ``[local (npp) ++ halo (Σ B_r)]``
+    buffer: a source owned by device i consumed by j lives in the block of
+    the round carrying pair (i, j), at ``npp + round_offset + pos``. Rounds
+    a consumer does not participate in contribute zero rows it never
+    indexes (ppermute semantics), keeping the buffer shape uniform across
+    devices as SPMD requires.
+    """
+
+    src_halo: np.ndarray            # [k * cap] remapped per-consumer indices
+    src_global: np.ndarray          # [k * cap]
+    dst: np.ndarray                 # [k * cap]
+    rel_ids: np.ndarray             # [k * cap]
+    edge_mask: np.ndarray           # [k * cap]
+    round_perms: Tuple[Tuple[Tuple[int, int], ...], ...]  # pairs per round
+    send_tables: Tuple[np.ndarray, ...]  # per round: [k, B_r] owner rows
+    round_widths: Tuple[int, ...]   # (B_1, ..., B_R)
+    nodes_per_shard: int
+    num_shards: int
+    pair_widths: np.ndarray = None  # [k, k] true unique boundary rows
+
+    @property
+    def edge_arrays(self) -> Tuple[np.ndarray, ...]:
+        return self.src_halo, self.dst, self.rel_ids, self.edge_mask
+
+    @property
+    def halo_rows(self) -> int:
+        return int(sum(self.round_widths))
+
+    @property
+    def num_rounds(self) -> int:
+        return len(self.round_widths)
+
+
+def _schedule_rounds(pair_widths: np.ndarray, slack: float = 2.0):
+    """First-fit-decreasing matching schedule.
+
+    Returns a list of rounds, each ``(pairs, width)`` with ``pairs`` a
+    matching and ``width`` its max (sublane-aligned) boundary. Sorting by
+    width descending bounds per-pair wire padding by ``slack`` (a pair only
+    joins a round already ≤ slack× its width); ties/order are deterministic.
+    """
+    k = pair_widths.shape[0]
+    pairs = sorted(
+        ((int(pair_widths[i, j]), i, j)
+         for i in range(k) for j in range(k)
+         if i != j and pair_widths[i, j] > 0),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    rounds = []  # [senders, receivers, pairs, width]
+    for w, i, j in pairs:
+        placed = False
+        for r in rounds:
+            if i not in r[0] and j not in r[1] and r[3] <= slack * w:
+                r[0].add(i); r[1].add(j); r[2].append((i, j))
+                placed = True
+                break
+        if not placed:
+            rounds.append([{i}, {j}, [(i, j)],
+                           round_up_to_multiple(max(w, 1), 8)])
+    return [(tuple(r[2]), int(r[3])) for r in rounds]
+
+
+def build_scheduled_halo_plan(
+    src: np.ndarray,
+    dst: np.ndarray,
+    rel_ids: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    *,
+    slack: float = 2.0,
+) -> ScheduledHaloPlan:
+    """Partition by dst owner, enumerate per-pair boundaries (same pass as
+    :func:`build_halo_plan`), and bin-pack the pairs into ppermute rounds."""
+    k = num_shards
+    src_p, dst_p, rel_p, mask_p, npp = partition_edges_by_dst(
+        src, dst, rel_ids, edge_mask, num_nodes, k
+    )
+    cap = src_p.shape[0] // k
+
+    needed = {}
+    pair_widths = np.zeros((k, k), dtype=np.int64)
+    for j in range(k):
+        sl = slice(j * cap, (j + 1) * cap)
+        s = np.asarray(src_p[sl], dtype=np.int64)
+        real = np.asarray(mask_p[sl]) > 0
+        owner = np.minimum(s // npp, k - 1)
+        for i in range(k):
+            if i == j:
+                continue
+            rows = np.unique(s[real & (owner == i)]) - i * npp
+            needed[(i, j)] = rows.astype(np.int64)
+            pair_widths[i, j] = rows.size
+
+    schedule = _schedule_rounds(pair_widths, slack=slack)
+    round_widths = [w for _, w in schedule]
+    offsets = np.concatenate([[0], np.cumsum(round_widths)]).astype(np.int64)
+
+    send_tables = []
+    pair_round = {}
+    for ri, (prs, w) in enumerate(schedule):
+        tbl = np.zeros((k, w), dtype=np.int32)
+        for (i, j) in prs:
+            rows = needed[(i, j)]
+            tbl[i, : rows.size] = rows
+            pair_round[(i, j)] = ri
+        send_tables.append(tbl)
+
+    src_halo = np.zeros(k * cap, dtype=np.int32)
+    for j in range(k):
+        sl = slice(j * cap, (j + 1) * cap)
+        s = np.asarray(src_p[sl], dtype=np.int64)
+        real = np.asarray(mask_p[sl]) > 0
+        owner = np.minimum(s // npp, k - 1)
+        out = np.zeros(cap, dtype=np.int32)
+        local = real & (owner == j)
+        out[local] = (s[local] - j * npp).astype(np.int32)
+        for i in range(k):
+            if i == j or (i, j) not in pair_round:
+                continue
+            rows = needed[(i, j)]
+            sel = real & (owner == i)
+            pos = np.searchsorted(rows, s[sel] - i * npp)
+            out[sel] = (
+                npp + offsets[pair_round[(i, j)]] + pos
+            ).astype(np.int32)
+        src_halo[sl] = out
+
+    return ScheduledHaloPlan(
+        src_halo=src_halo,
+        src_global=src_p,
+        dst=dst_p,
+        rel_ids=rel_p,
+        edge_mask=mask_p,
+        round_perms=tuple(prs for prs, _ in schedule),
+        send_tables=tuple(send_tables),
+        round_widths=tuple(round_widths),
+        nodes_per_shard=npp,
+        num_shards=k,
+        pair_widths=pair_widths,
+    )
+
+
+def scheduled_halo_exchange(h_local, send_tables_l, round_perms, axis: str):
+    """Run the ppermute schedule INSIDE a shard_map body.
+
+    ``send_tables_l``: per-round ``[1, B_r]`` local slices of the plan's
+    send tables; ``round_perms`` the static per-round pair lists. Returns
+    the consumer's ``[Σ B_r, d]`` halo buffer (round-major blocks matching
+    ``ScheduledHaloPlan.src_halo`` offsets; rounds this consumer is not a
+    receiver in are zeros it never reads).
+    """
+    blocks = []
+    for tbl, perm in zip(send_tables_l, round_perms):
+        buf = h_local[tbl[0]]  # [B_r, d]
+        blocks.append(jax.lax.ppermute(buf, axis, perm=list(perm)))
+    return jnp.concatenate(blocks, axis=0)
+
+
+def scheduled_halo_message_passing(
+    mesh: Mesh,
+    h: jax.Array,
+    plan: ScheduledHaloPlan,
+    w_msg: jax.Array,
+    w_self: jax.Array,
+    bias: jax.Array,
+    *,
+    axis: str = "edge",
+    precision="highest",
+) -> jax.Array:
+    """Owner-computes message passing over the scheduled ppermute rounds.
+
+    Semantics identical to :func:`halo_message_passing` (and hence to the
+    single-device reference epilogue); only the exchange layout differs.
+    """
+    prec = resolve_precision(precision)
+    npp = plan.nodes_per_shard
+    src_halo, dst, rel, mask = (jnp.asarray(a) for a in plan.edge_arrays)
+    tables = tuple(jnp.asarray(t) for t in plan.send_tables)
+    perms = plan.round_perms
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),
+            P(axis), P(axis), P(axis), P(axis),
+            tuple(P(axis, None) for _ in tables),
+            P(), P(), P(),
+        ),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def _shard_fn(h_local, src_l, dst_l, rel_l, mask_l, tables_l, wm, ws, bb):
+        my_idx = jax.lax.axis_index(axis)
+        halo = scheduled_halo_exchange(h_local, tables_l, perms, axis)
+        full = jnp.concatenate([h_local, halo], axis=0)
+        hw = jnp.einsum(
+            "nd,udo->uno", full, jnp.concatenate([wm, ws]), precision=prec
+        )
+        u = wm.shape[0]
+        dst_local = dst_l - my_idx * npp
+        msg = (hw[rel_l, src_l] + bb[rel_l]) * mask_l[:, None]
+        selfc = hw[rel_l + u, dst_local] * mask_l[:, None]
+        agg = jax.ops.segment_sum(msg, dst_local, num_segments=npp)
+        selft = jax.ops.segment_sum(selfc, dst_local, num_segments=npp)
+        cnt = jax.ops.segment_sum(mask_l, dst_local, num_segments=npp)
+        cnt = jnp.maximum(cnt, 1.0)[:, None]
+        return agg / cnt + selft / cnt
+
+    return _shard_fn(h, src_halo, dst, rel, mask, tables, w_msg, w_self, bias)
+
+
+def scheduled_halo_wire_rows(plan: ScheduledHaloPlan) -> int:
+    """Total rows actually transmitted per exchange (ppermute ships only
+    listed pairs; padding counts only within a shipped block)."""
+    return int(
+        sum(len(prs) * w for prs, w in
+            zip(plan.round_perms, plan.round_widths))
+    )
+
+
+def scheduled_halo_bytes_per_device(plan: ScheduledHaloPlan, d: int,
+                                    itemsize: int = 4) -> float:
+    """Average bytes each device sends per exchange."""
+    return scheduled_halo_wire_rows(plan) / plan.num_shards * d * itemsize
+
+
+def scheduled_halo_padding_factor(plan: ScheduledHaloPlan) -> float:
+    """Transmitted / true unique boundary rows (→ 1.0 = tight)."""
+    true = float(plan.pair_widths.sum())
+    return scheduled_halo_wire_rows(plan) / max(true, 1.0)

@@ -224,3 +224,81 @@ class TestSkewedHaloVolume:
         assert halo_bytes_per_device(plan, d) < allgather_bytes_per_device(
             plan, d
         ), (plan.pair_widths, plan.halo_width)
+
+
+@needs_multidevice
+class TestScheduledHalo:
+    """Pod-shaped ppermute-round schedule: exactness + tight padding."""
+
+    @pytest.mark.parametrize("n,e", [(30, 120), (67, 400)])
+    def test_matches_single_device(self, n, e):
+        from graph_hypernetwork_forge_tpu.parallel.halo import (
+            build_scheduled_halo_plan,
+            scheduled_halo_message_passing,
+        )
+
+        rng = np.random.default_rng(3)
+        u, d, k = 5, 8, 8
+        src, dst, rel, mask = _random_graph(rng, n, e, u)
+        h = rng.standard_normal((n, d)).astype(np.float32)
+        w_msg = 0.1 * rng.standard_normal((u, d, d)).astype(np.float32)
+        w_self = 0.1 * rng.standard_normal((u, d, d)).astype(np.float32)
+        bias = 0.1 * rng.standard_normal((u, d)).astype(np.float32)
+
+        want = relational_message_passing(
+            jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(rel), jnp.asarray(w_msg), jnp.asarray(w_self),
+            jnp.asarray(bias), backend="dense",
+        )
+        plan = build_scheduled_halo_plan(src, dst, rel, mask, n, k)
+        # Every round is a valid matching.
+        for prs in plan.round_perms:
+            senders = [i for i, _ in prs]
+            receivers = [j for _, j in prs]
+            assert len(set(senders)) == len(senders)
+            assert len(set(receivers)) == len(receivers)
+        h_pad = np.zeros((plan.nodes_per_shard * k, d), dtype=np.float32)
+        h_pad[:n] = h
+        mesh = make_mesh((k,), ("edge",))
+        got = scheduled_halo_message_passing(
+            mesh, jnp.asarray(h_pad), plan,
+            jnp.asarray(w_msg), jnp.asarray(w_self), jnp.asarray(bias),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got)[:n], np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_padding_near_one_on_skewed_graph(self):
+        """One hot pair inflates the [k,k,B] cube 39x; the schedule ships
+        only listed pairs with per-round padding bounded by the slack, so
+        the transmitted/true factor lands near 1 and plan memory collapses
+        to O(sum B_ij)."""
+        from graph_hypernetwork_forge_tpu.parallel.halo import (
+            build_scheduled_halo_plan,
+            halo_padding_factor,
+            scheduled_halo_padding_factor,
+        )
+
+        rng = np.random.default_rng(7)
+        k, n = 8, 256
+        npp = n // k
+        hot_src = rng.integers(0, npp, 200).astype(np.int64)          # dev 0
+        hot_dst = (npp + rng.integers(0, npp, 200)).astype(np.int64)  # dev 1
+        ring_src = rng.integers(0, n, 160).astype(np.int64)
+        ring_dst = ((ring_src + npp) % n).astype(np.int64)
+        src = np.concatenate([hot_src, ring_src])
+        dst = np.concatenate([hot_dst, ring_dst])
+        rel = rng.integers(0, 4, src.size).astype(np.int32)
+        mask = np.ones(src.size, dtype=np.float32)
+
+        dense = build_halo_plan(src, dst, rel, mask, n, k)
+        sched = build_scheduled_halo_plan(src, dst, rel, mask, n, k)
+        np.testing.assert_array_equal(dense.pair_widths, sched.pair_widths)
+
+        f_dense = halo_padding_factor(dense)
+        f_sched = scheduled_halo_padding_factor(sched)
+        assert f_sched < 2.0, f_sched       # bounded by the schedule slack
+        assert f_sched < 0.2 * f_dense, (f_sched, f_dense)
+        # Plan memory: per-round tables vs the dense [k, k, B] cube.
+        sched_mem = sum(t.size for t in sched.send_tables)
+        assert sched_mem < dense.send_idx.size
