@@ -55,6 +55,58 @@ PEAK_FLOPS = 197e12
 XXL = ("xxl-wikidata5m-scale", 1_000_000, 10_000_000, 100, 64, None)
 
 
+def measure_copy_bandwidth_gbs(mib: int = 256, fused: int = 20) -> float:
+    """Measured plain-copy HBM bandwidth (read+write) — the roofline
+    reference the step-level GB/s column is judged against."""
+    x = jnp.ones((mib * 1024 * 1024 // 4,), jnp.float32)
+
+    @jax.jit
+    def prog(x):
+        def body(c, _):
+            xb, cb = jax.lax.optimization_barrier((x, c))
+            y = xb + cb
+            return cb + y[0] * 1e-20, y[-1]
+
+        _, ys = jax.lax.scan(body, jnp.float32(0.0), length=fused)
+        return ys
+
+    np.asarray(prog(x))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        np.asarray(prog(x))
+    dt = (time.perf_counter() - t0) / (reps * fused)
+    return 2 * x.nbytes / dt / 1e9
+
+
+def bytes_moved_model(e, n, u, d, layers, act_itemsize=4):
+    """Auditable per-step HBM traffic model for the SortPlan/grouped path
+    (fwd + bwd + loss), in bytes. Terms, per layer:
+
+    forward:  contrib reads x_src + x_dst rows (2·E·d) and writes one
+              combined [E, d] stream; aggregation tail reads it permuted
+              (E·d) and writes [N, d]; banks U·2d² + epilogue 2·N·d.
+    backward: tail transpose gathers g back to edges (read N·d, write
+              E·d); contrib backward reads g + both x streams (3·E·d),
+              writes both dx streams (2·E·d); the dx cotangents reduce to
+              node rows through two sorted segment-sums (read 2·E·d,
+              write 2·N·d); dW ragged contractions re-read x (2·E·d).
+    loss:     two sort-free [E, d] gathers fwd (read 2·E·d + emb reads),
+              two sorted reductions bwd (2·E·d + 2·N·d writes).
+
+    Node-row and bank terms use f32; edge streams use ``act_itemsize``
+    (bf16 storage mode halves them). Deliberately counts algorithmic
+    traffic only — XLA fusion can cut it, extra materializations add to
+    it; measured/model > 1 means fusion wins, < 1 means waste.
+    """
+    ed = e * d * act_itemsize
+    nd = n * d * 4
+    per_layer_fwd = 2 * ed + ed + ed + nd + 2 * nd + u * 2 * d * d * 4
+    per_layer_bwd = (nd + ed) + (3 * ed + 2 * ed) + (2 * ed + 2 * nd) + 2 * ed
+    loss = 2 * ed + 2 * nd + 2 * ed + 2 * nd
+    return layers * (per_layer_fwd + per_layer_bwd) + loss
+
+
 def run_config(name, n, e, u, d, ref):
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
@@ -73,8 +125,10 @@ def run_config(name, n, e, u, d, ref):
     with_plan = e <= 2_000_000
     # d % 128 == 0: group-pad the layout so auto picks the streaming Pallas
     # kernel (measured 1.4-1.7x over ragged_dot on the contribution stage).
+    # d == 64: group-pad so auto picks the pair-packed variant (two rows
+    # per 128-lane row through the same kernel with blockdiag banks).
     group_pad = 0
-    if d % 128 == 0:
+    if d % 128 == 0 or d == 64:
         from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
             GROUP_PAD,
         )
@@ -171,6 +225,12 @@ def run_config(name, n, e, u, d, ref):
     )
     flops_per_step = 12 * e * d * d * L + 6 * u * mlp_macs * L
     achieved = flops_per_step * eps / e
+    # Bandwidth accounting: these steps are HBM-bound, so the meaningful
+    # roofline column is achieved GB/s vs the measured copy bandwidth —
+    # MFU (kept for completeness) uses the wrong denominator here.
+    act_itemsize = 2 if config.compute_dtype == "bfloat16" else 4
+    step_s = dt / steps
+    bytes_model = bytes_moved_model(e, n, u, d, L, act_itemsize)
     out = {
         "config": name,
         "nodes": n,
@@ -178,22 +238,40 @@ def run_config(name, n, e, u, d, ref):
         "relations": u,
         "hidden": d,
         "fwd_bwd_edges_per_s": round(eps, 1),
-        "step_ms": round(1e3 * dt / steps, 3),
+        "step_ms": round(1e3 * step_s, 3),
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS, 4),
+        "bytes_moved_model_gb": round(bytes_model / 1e9, 3),
+        "achieved_gb_per_s": round(bytes_model / step_s / 1e9, 1),
     }
+    if COPY_BW_GBS is not None:
+        out["copy_bw_gb_per_s"] = round(COPY_BW_GBS, 1)
+        out["frac_of_copy_bw"] = round(
+            bytes_model / step_s / 1e9 / COPY_BW_GBS, 3
+        )
     if ref:
         out["vs_reference"] = round(eps / ref, 1)
     print(json.dumps(out))
 
 
+COPY_BW_GBS = None
+
+
 def main():
+    global COPY_BW_GBS
     configs = list(CONFIGS)
     if "--xxl" in sys.argv:
         configs = [XXL]
     if "--only" in sys.argv:
         names = sys.argv[sys.argv.index("--only") + 1].split(",")
         configs = [c for c in configs + [XXL] if c[0] in names]
+    if "--no-copybw" not in sys.argv:
+        COPY_BW_GBS = measure_copy_bandwidth_gbs()
+        print(json.dumps({
+            "copy_bw_gb_per_s": round(COPY_BW_GBS, 1),
+            "note": "measured plain-copy HBM bandwidth (read+write), the "
+                    "roofline reference for achieved_gb_per_s",
+        }))
     for cfg in configs:
         run_config(*cfg)
 

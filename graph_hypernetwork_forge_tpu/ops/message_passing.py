@@ -49,7 +49,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-Backend = Literal["auto", "dense", "grouped", "gather", "pallas", "chunked"]
+Backend = Literal[
+    "auto", "dense", "grouped", "gather", "pallas", "pallas_packed",
+    "chunked",
+]
 
 # Peak-memory budget (floats) for the dense backend's [U, N, d] product;
 # past this (or when relations are sparse relative to edges) `auto` prefers
@@ -498,6 +501,24 @@ def relational_message_passing(
             precision,
         )
 
+    if (
+        chosen == "grouped"
+        and backend == "auto"
+        and rel_sorted
+        and group_padded
+        and sort_plan is not None
+        and jax.default_backend() == "tpu"
+        and int(w_msg.shape[1]) == 64
+        and int(w_msg.shape[2]) == 64
+    ):
+        # d=64 never reaches the 128-lane Mosaic kernel directly (sub-lane
+        # blocks wedge this stack's compiler) and ragged_dot is measured
+        # far off its d=128 efficiency. Pair-packing recovers the fast
+        # path: two consecutive same-relation rows per 128-lane row with
+        # block-diagonal banks — 2x the true d=64 MACs, but through the
+        # streaming kernel.
+        chosen = "pallas_packed"
+
     if chosen == "pallas":
         d_in, d_out = int(w_msg.shape[1]), int(w_msg.shape[2])
         if jax.default_backend() == "tpu" and (d_in % 128 or d_out % 128):
@@ -510,10 +531,79 @@ def relational_message_passing(
             # unsorted edges fall back to the grouped ragged backend.
             chosen = "grouped"
 
+    if chosen == "pallas_packed":
+        if (
+            int(w_msg.shape[1]) != 64 or int(w_msg.shape[2]) != 64
+            or not rel_sorted or not group_padded or sort_plan is None
+            or src.shape[0] % 2
+        ):
+            raise ValueError(
+                "backend='pallas_packed' requires d_in == d_out == 64, a "
+                "rel-sorted GROUP_PAD-padded layout (even group sizes), "
+                "and a SortPlan"
+            )
+
     from graph_hypernetwork_forge_tpu.ops.segment import (
         segment_sum,
         sorted_segment_sum_by_plan,
     )
+
+    if chosen == "pallas_packed":
+        # Pair-packed d=64 path: two consecutive same-relation edge rows
+        # per 128-lane row. Relation groups are GROUP_PAD(=256)-aligned, so
+        # pairs never cross a group boundary and the packed group sizes /
+        # CSR splits are exact halves (128-aligned — a legal kernel tile).
+        # The packed transform X2 @ blockdiag(W, W) reproduces both rows'
+        # x @ W exactly (the off-diagonal blocks are zero); the combined
+        # [E/2, 128] output reshapes back to [E, 64] contiguously for the
+        # unchanged aggregation tail. Autodiff through the blockdiag
+        # concat/zeros slices the two diagonal blocks of the kernel's
+        # [U, 128, 128] dW cotangent and sums them — no wasted bank grads
+        # beyond the kernel's own 2x MAC padding. Semantics preserved:
+        # reference per-edge transform models/hypergnn.py:201-204.
+        from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
+            edge_transform_sorted_combined,
+        )
+        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+
+        x_src = take_rows_sorted(
+            n, h, src, sort_plan.src_perm, sort_plan.src_sorted,
+            sort_plan.src_splits,
+        )
+        x_dst = take_rows_sorted(
+            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
+            sort_plan.dst_splits,
+        )
+        e_rows = x_src.shape[0]
+        x2s = x_src.reshape(e_rows // 2, 128)
+        x2d = x_dst.reshape(e_rows // 2, 128)
+        rel2 = rel_ids[::2]
+        splits2 = (sort_plan.rel_splits // 2).astype(sort_plan.rel_splits.dtype)
+        z = jnp.zeros_like(w_msg)
+        w2m = jnp.concatenate(
+            [jnp.concatenate([w_msg, z], axis=2),
+             jnp.concatenate([z, w_msg], axis=2)], axis=1,
+        )
+        w2s = jnp.concatenate(
+            [jnp.concatenate([w_self, z], axis=2),
+             jnp.concatenate([z, w_self], axis=2)], axis=1,
+        )
+        bias2 = jnp.concatenate([bias, bias], axis=-1)
+        contrib2 = edge_transform_sorted_combined(
+            x2s, x2d, rel2, w2m, w2s, bias2, splits2, 128,
+            jax.default_backend() != "tpu", precision,
+        )
+        contrib = contrib2.reshape(e_rows, 64)
+        cnt = jnp.maximum(sort_plan.in_degree[:n], 1.0)[:, None].astype(
+            jnp.float32
+        )
+        if edge_mask is not None:
+            contrib = contrib * edge_mask.astype(contrib.dtype)[:, None]
+        total = sorted_segment_sum_by_plan(
+            contrib, sort_plan.dst_perm, sort_plan.inv_dst_perm,
+            sort_plan.dst_sorted, n, sort_plan.dst_splits,
+        )
+        return total / cnt
 
     if chosen == "pallas":
         # Combined-output kernel: the tail only ever consumes msg + selfc

@@ -45,7 +45,11 @@ def _setup(seed=0, n=26, e=100, u=6, f=8, hidden=16, dropout=0.0):
     return graph, feats, config, params
 
 
-@pytest.mark.parametrize("k", [2, 4, 8])
+@pytest.mark.parametrize(
+    "k",
+    [pytest.param(2, marks=pytest.mark.slow), 4,
+     pytest.param(8, marks=pytest.mark.slow)],
+)
 def test_composed_forward_matches_single_device(k):
     graph, feats, config, params = _setup()
     mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
@@ -161,6 +165,7 @@ def test_composed_dropout_runs():
     assert float(la) != float(lb)  # dropout + negatives actually random
 
 
+@pytest.mark.slow
 def test_composed_halo_step_matches_dense_v1():
     """Halo-mode step (all_to_all boundary rows) == dense-v1 step exactly."""
     graph, feats, config, params = _setup(seed=7)
@@ -210,6 +215,7 @@ def test_composed_halo_step_matches_dense_v1():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
 
 
+@pytest.mark.slow
 def test_composed_local_scoring_matches_oracle():
     """Halo default (neg_mode='local_roll') loss AND grads == a single-device
     oracle computing the identical objective: per-shard rotated tails,
@@ -273,6 +279,7 @@ def test_composed_local_scoring_matches_oracle():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_composed_agg_sorted_matches_unsorted():
     """agg_sorted=True (host-precomputed per-shard sort-free aggregation:
     bijective permute + sorted-hint reduction + static degree counts) ==
@@ -331,6 +338,7 @@ def test_composed_agg_sorted_matches_unsorted():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_composed_grouped_contrib_matches_oracle():
     """contrib='grouped' (per-device ragged_dot over the shard's
     rel-sorted slice — O(E/k · d²) per device instead of the dense
@@ -403,6 +411,7 @@ def test_composed_grouped_contrib_matches_oracle():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_halo_step_per_device_flops_shrink_with_mesh():
     """Scaling-regression guard: the halo step's per-device compiled FLOPs
     must shrink with mesh size (no replicated compute growth), while the

@@ -108,7 +108,10 @@ def _run_2d(graph, feats, config, params, k_e, k_m, rng, contrib="dense",
     return new_params, float(loss), sharded, mesh
 
 
-@pytest.mark.parametrize("contrib", ["dense", "grouped"])
+@pytest.mark.parametrize(
+    "contrib",
+    [pytest.param("dense", marks=pytest.mark.slow), "grouped"],
+)
 def test_2d_matches_1d(contrib):
     graph, feats, config, params = _setup(seed=5)
     rng = jax.random.PRNGKey(17)
@@ -126,6 +129,7 @@ def test_2d_matches_1d(contrib):
         )
 
 
+@pytest.mark.slow
 def test_2d_agg_sorted_matches_unsorted():
     graph, feats, config, params = _setup(seed=8)
     rng = jax.random.PRNGKey(23)
