@@ -142,9 +142,19 @@ def sorted_segment_sum(
         and splits.shape[0] >= num_segments + 1
     ):
         from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            TILE_N,
             sorted_segment_sum_pallas,
         )
 
+        # Largest chunk that divides the row count avoids the tail-pad
+        # copy entirely (edge buckets are powers of two / 256-multiples)
+        # and amortizes per-iteration loop + DMA overhead: measured
+        # 4.8 -> 4.24 ms at [1M, 128] for 1024 vs 256
+        # (benchmarks/results/segsum_tune_r4.json).
+        e_rows = values_sorted.shape[0]
+        chunk = next(
+            (c for c in (1024, 512, 256) if e_rows % c == 0), 256
+        )
         d_pad = -(-d // 128) * 128
         if d_pad != d:
             # Sub-lane widths wedge Mosaic, so pad the column axis to the
@@ -152,12 +162,12 @@ def sorted_segment_sum(
             # lowering depending on d % 128).
             out = sorted_segment_sum_pallas(
                 jnp.pad(values_sorted, ((0, 0), (0, d_pad - d))),
-                ids_sorted, num_segments,
+                ids_sorted, num_segments, TILE_N, chunk,
                 splits=splits[: num_segments + 1],
             )
             return out[:, :d]
         return sorted_segment_sum_pallas(
-            values_sorted, ids_sorted, num_segments,
+            values_sorted, ids_sorted, num_segments, TILE_N, chunk,
             splits=splits[: num_segments + 1],
         )
     if values_sorted.dtype == jnp.bfloat16:

@@ -104,9 +104,10 @@ def test_edge_transform_combined_compiled_vjp():
 
     def f_ref(xs, xd, wm, ws, bb):
         gs = jnp.asarray(np.diff(np.asarray(splits)).astype(np.int32))
+        hi = jax.lax.Precision.HIGHEST  # default is bf16-class on TPU
         out = (
-            jax.lax.ragged_dot(xs, wm, gs)
-            + jax.lax.ragged_dot(xd, ws, gs)
+            jax.lax.ragged_dot(xs, wm, gs, precision=hi)
+            + jax.lax.ragged_dot(xd, ws, gs, precision=hi)
             + bb[rel]
         )
         return jnp.sum(out ** 2)
