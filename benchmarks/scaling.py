@@ -127,8 +127,11 @@ def run_config(name, n, e, u, d, ref):
     # kernel (measured 1.4-1.7x over ragged_dot on the contribution stage).
     # d == 64: group-pad so auto picks the pair-packed variant (two rows
     # per 128-lane row through the same kernel with blockdiag banks).
+    # (small-E d=64 configs skip the pad: U·GROUP_PAD/2 pad rows are a
+    # material fraction of E there, and the packed kernel only engages at
+    # >= 65k rows anyway).
     group_pad = 0
-    if d % 128 == 0 or d == 64:
+    if d % 128 == 0 or (d == 64 and e >= 65_536):
         from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
             GROUP_PAD,
         )

@@ -510,6 +510,11 @@ def relational_message_passing(
         and jax.default_backend() == "tpu"
         and int(w_msg.shape[1]) == 64
         and int(w_msg.shape[2]) == 64
+        # Below ~65k rows the streaming kernel's fixed costs lose to
+        # ragged_dot (measured: bench config 8.0 vs 3.9 ms/step packed vs
+        # grouped at E=10k; large config 17.5 vs 36.3 ms WIN at E=100k;
+        # xl 191 vs 287 ms at E=1M).
+        and int(src.shape[0]) >= 65_536
     ):
         # d=64 never reaches the 128-lane Mosaic kernel directly (sub-lane
         # blocks wedge this stack's compiler) and ragged_dot is measured
