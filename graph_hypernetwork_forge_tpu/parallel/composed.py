@@ -81,6 +81,11 @@ class ComposedInputs:
     src_halo: Optional[np.ndarray] = None   # [k * cap] local++halo indices
     send_idx: Optional[np.ndarray] = None   # [k, k, B]
     halo_width: int = 0
+    # Pod-scale scheduled-ppermute exchange (ScheduledHaloPlan): per-round
+    # [k, B_r] send tables + the static round pair lists; src_halo then
+    # indexes [local ++ Σ B_r round blocks].
+    sched_send_tables: Optional[Tuple[np.ndarray, ...]] = None
+    sched_round_perms: Optional[Tuple[Tuple[Tuple[int, int], ...], ...]] = None
     # Per-shard ragged group sizes [k, U_pad] when each shard's edge slice
     # is relation-sorted (``rel_sort_local=True``) — enables the grouped
     # (ragged_dot) contribution backend in the composed step.
@@ -111,7 +116,7 @@ class ComposedInputs:
 
 def prepare_composed_inputs(
     graph: EncodedGraph, node_features, num_shards: int, *, halo: bool = True,
-    rel_sort_local: bool = False,
+    rel_sort_local: bool = False, scheduled: bool = False,
 ) -> ComposedInputs:
     """Partition a graph + features for :func:`make_composed_train_step`.
 
@@ -134,7 +139,26 @@ def prepare_composed_inputs(
     n = graph.num_nodes
     src_halo = send_idx = None
     halo_width = 0
-    if halo:
+    sched_tables = sched_perms = None
+    if halo and scheduled:
+        # Pod-scale variant: bin-packed ppermute rounds with slack-bounded
+        # padding (parallel/halo.py ScheduledHaloPlan). Same partitioning,
+        # same exactness; only the exchange layout differs.
+        from graph_hypernetwork_forge_tpu.parallel.halo import (
+            build_scheduled_halo_plan,
+        )
+
+        plan = build_scheduled_halo_plan(
+            graph.src, graph.dst, graph.rel_ids, graph.edge_mask, n, num_shards
+        )
+        _, dst, rel, mask = plan.edge_arrays
+        src = plan.src_global
+        npp = plan.nodes_per_shard
+        src_halo = plan.src_halo
+        sched_tables = plan.send_tables
+        sched_perms = plan.round_perms
+        halo_width = plan.halo_rows  # total concat halo rows per consumer
+    elif halo:
         from graph_hypernetwork_forge_tpu.parallel.halo import build_halo_plan
 
         plan = build_halo_plan(
@@ -226,6 +250,8 @@ def prepare_composed_inputs(
         src_halo=src_halo,
         send_idx=send_idx,
         halo_width=halo_width,
+        sched_send_tables=sched_tables,
+        sched_round_perms=sched_perms,
         rel_group_sizes=rel_group_sizes,
         agg_dst_perm=agg_perm,
         agg_inv_perm=agg_inv,
@@ -248,6 +274,7 @@ def make_composed_train_step(
     neg_mode: Optional[str] = None,
     contrib: str = "dense",
     agg_sorted: bool = False,
+    scheduled_rounds=None,
 ):
     """Jitted fully-sharded train step (fwd + bwd + Adam) on one mesh axis.
 
@@ -291,6 +318,15 @@ def make_composed_train_step(
       production path at large U. Requires
       ``prepare_composed_inputs(rel_sort_local=True)`` and its
       ``rel_group_sizes`` passed to the step.
+
+    ``scheduled_rounds``: the static round pair lists of a pod-scale
+    :class:`~graph_hypernetwork_forge_tpu.parallel.halo.ScheduledHaloPlan`
+    (``prepare_composed_inputs(halo=True, scheduled=True)``). The layer
+    and scoring exchanges then run as bin-packed ppermute rounds with
+    slack-bounded per-round padding instead of the ``[k, k, B]``
+    ``all_to_all``; ``halo_width`` must be the plan's total halo rows
+    (``plan.halo_rows``) and the step's ``send_idx`` argument carries the
+    per-round send-table tuple.
 
     ``agg_sorted=True`` brings the single-chip SortPlan discipline to the
     in-shard aggregation: XLA lowers each shard's unsorted per-layer
@@ -360,7 +396,19 @@ def make_composed_train_step(
                 kk: jax.lax.all_gather(v, axis, tiled=True)
                 for kk, v in local_w.items()
             }
-            if use_halo:
+            if use_halo and scheduled_rounds is not None:
+                # Pod-scale schedule: bin-packed ppermute rounds, only
+                # listed pairs transmit (parallel/halo.py).
+                from graph_hypernetwork_forge_tpu.parallel.halo import (
+                    scheduled_halo_exchange,
+                )
+
+                halo = scheduled_halo_exchange(
+                    h_local, send_l, scheduled_rounds, axis
+                )
+                rows = jnp.concatenate([h_local, halo])
+                src_rows = src_l
+            elif use_halo:
                 # Boundary-minimized exchange (parallel/halo.py): move only
                 # the rows some consumer's edges actually read.
                 k = send_l.shape[1]
@@ -445,6 +493,13 @@ def make_composed_train_step(
             )
         return h_local
 
+    # Send-table spec: the dense plan ships one [k, k, B] cube; the
+    # scheduled plan a tuple of per-round [k, B_r] tables.
+    send_spec = (
+        tuple(P(axis, None) for _ in scheduled_rounds)
+        if scheduled_rounds is not None else P(axis, None, None)
+    )
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -454,7 +509,7 @@ def make_composed_train_step(
             P(axis), P(axis), P(axis), P(axis),  # edges: dst-owner sharded
             P(axis, None), P(axis),              # relations sharded
             P(axis),        # src for layers (global or local++halo remapped)
-            P(axis, None, None),                 # send_idx by owner (halo)
+            send_spec,      # send tables (halo)
             P(axis, None),  # per-shard ragged group sizes (grouped contrib)
             (P(axis), P(axis), P(axis), P(axis, None), P(axis, None)),
             #               ^ per-shard sort-free aggregation plan
@@ -490,7 +545,7 @@ def make_composed_train_step(
             P(axis, None),  # feats: node-range sharded
             P(axis), P(axis), P(axis), P(axis),  # edges (src = local++halo)
             P(axis, None), P(axis),              # relations sharded
-            P(axis, None, None),                 # send_idx by owner
+            send_spec,                           # send tables (halo)
             P(axis, None),  # per-shard ragged group sizes (grouped contrib)
             (P(axis), P(axis), P(axis), P(axis, None), P(axis, None)),
             #               ^ per-shard sort-free aggregation plan
@@ -508,17 +563,29 @@ def make_composed_train_step(
             lens_l, send_l, gs_l, agg_l, drop_rng,
         )
         my_idx = jax.lax.axis_index(axis)
-        k = send_l.shape[1]
-        # One more B-row boundary exchange so positive HEADS (arbitrary src
-        # rows of local edges) are addressable — same plan, same volume as
-        # a layer exchange; nothing O(N) crosses the wire.
-        send_buf = h_local[send_l[0].reshape(-1)].reshape(
-            k, halo_width, h_local.shape[1]
-        )
-        halo = jax.lax.all_to_all(send_buf, axis, split_axis=0, concat_axis=0)
-        rows = jnp.concatenate(
-            [h_local, halo.reshape(k * halo_width, h_local.shape[1])]
-        )
+        # One more boundary exchange so positive HEADS (arbitrary src rows
+        # of local edges) are addressable — same plan, same volume as a
+        # layer exchange; nothing O(N) crosses the wire.
+        if scheduled_rounds is not None:
+            from graph_hypernetwork_forge_tpu.parallel.halo import (
+                scheduled_halo_exchange,
+            )
+
+            halo_rows_buf = scheduled_halo_exchange(
+                h_local, send_l, scheduled_rounds, axis
+            )
+            rows = jnp.concatenate([h_local, halo_rows_buf])
+        else:
+            k = send_l.shape[1]
+            send_buf = h_local[send_l[0].reshape(-1)].reshape(
+                k, halo_width, h_local.shape[1]
+            )
+            halo = jax.lax.all_to_all(
+                send_buf, axis, split_axis=0, concat_axis=0
+            )
+            rows = jnp.concatenate(
+                [h_local, halo.reshape(k * halo_width, h_local.shape[1])]
+            )
         head = rows[srch_l]                              # [cap, d]
         local_dst = dst_l - my_idx * nodes_per_shard
         tail = h_local[local_dst]                        # [cap, d] owner rows

@@ -509,3 +509,60 @@ def test_halo_step_per_device_flops_shrink_with_mesh():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] <= losses[0]
+
+
+def test_composed_scheduled_halo_matches_dense_pairs():
+    """The pod-scale scheduled-ppermute exchange inside the composed step
+    == the [k,k,B] all_to_all halo step exactly (same partitioned layout,
+    same rng -> identical negatives): only the exchange layout differs."""
+    graph, feats, config, params = _setup(seed=17)
+    k = 4
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    dense_in = prepare_composed_inputs(graph, feats, k, halo=True)
+    sched_in = prepare_composed_inputs(graph, feats, k, halo=True,
+                                       scheduled=True)
+    np.testing.assert_array_equal(dense_in.dst, sched_in.dst)
+    np.testing.assert_array_equal(dense_in.src, sched_in.src)
+    assert sched_in.sched_send_tables is not None
+
+    optimizer = optax.adam(1e-2)
+    rng = jax.random.PRNGKey(33)
+
+    def run(inputs, scheduled):
+        kwargs = {}
+        if scheduled:
+            step = make_composed_train_step(
+                mesh, config, optimizer, inputs.nodes_per_shard,
+                num_nodes=inputs.num_nodes, halo_width=inputs.halo_width,
+                scheduled_rounds=inputs.sched_round_perms,
+            )
+            kwargs = dict(
+                src_halo=jnp.asarray(inputs.src_halo),
+                send_idx=tuple(
+                    jnp.asarray(t) for t in inputs.sched_send_tables
+                ),
+            )
+        else:
+            step = make_composed_train_step(
+                mesh, config, optimizer, inputs.nodes_per_shard,
+                num_nodes=inputs.num_nodes, halo_width=inputs.halo_width,
+            )
+            kwargs = dict(
+                src_halo=jnp.asarray(inputs.src_halo),
+                send_idx=jnp.asarray(inputs.send_idx),
+            )
+        arrays = tuple(
+            jnp.asarray(a) for a in (
+                inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+                inputs.edge_mask, inputs.char_ids, inputs.lengths,
+            )
+        )
+        return step(params, optimizer.init(params), *arrays, rng, **kwargs)
+
+    p_d, _, l_d = run(dense_in, False)
+    p_s, _, l_s = run(sched_in, True)
+    np.testing.assert_allclose(float(l_s), float(l_d), atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_d), jax.tree_util.tree_leaves(p_s)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
