@@ -265,7 +265,9 @@ def main():
 
     kfuse = 10
     mstep = make_multi_step(config, optimizer, kfuse, neg_mode="roll")
-    p2, o2 = params, optimizer.init(params)
+    # Fresh params: the dispatched loop above DONATED the original buffers.
+    p2 = init_hypergnn(config, jax.random.PRNGKey(0))
+    o2 = optimizer.init(p2)
     r2 = jax.random.PRNGKey(2)
     _, _, losses = mstep(p2, o2, feats, *arrays, r2, sort_plan=plan)
     np.asarray(losses)
