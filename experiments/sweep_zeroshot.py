@@ -102,6 +102,24 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
             filter_edges=kg.edge_index,
         )
         out.update({f"zero_shot_{k}": round(v, 4) for k, v in zs.items()})
+        # Per-relation breakdown: each held-out relation scored separately
+        # (weights generated purely from its text — the capability table
+        # the aggregate number averages over).
+        per_rel = {}
+        texts_arr = np.asarray(test_texts, dtype=object)
+        for rid in kg.zero_shot_relations:
+            t = kg.relation_texts[rid]
+            m = texts_arr == t
+            if m.any():
+                r = evaluate_link_prediction(
+                    embs, test_ei[0][m], test_ei[1][m],
+                    filter_edges=kg.edge_index,
+                )
+                per_rel[t] = {
+                    "n": int(m.sum()), "mrr": round(r["mrr"], 4),
+                    "hits@10": round(r["hits@10"], 4),
+                }
+        out["zero_shot_per_relation"] = per_rel
     return out
 
 
