@@ -94,6 +94,11 @@ def main(argv=None) -> int:
         "--num-negatives", type=int, default=1,
         help="corrupted tails per positive (mean hinge over K negatives)",
     )
+    p.add_argument(
+        "--adv-temp", type=float, default=0.0,
+        help="self-adversarial negative temperature (softmax-weighted "
+             "hard negatives; requires --num-negatives > 1)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", default="highest", choices=["highest", "default"])
     p.add_argument("--checkpoint-dir", default=None)
@@ -135,7 +140,10 @@ def main(argv=None) -> int:
         lr = args.lr
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(config, optimizer, num_negatives=args.num_negatives)
+    step_fn = make_train_step(
+        config, optimizer, num_negatives=args.num_negatives,
+        adversarial_temperature=args.adv_temp,
+    )
     logger = MetricsLogger([StdoutWriter(every=max(1, args.eval_every // 5))])
 
     # Message-passing graph for eval includes test edges (standard
