@@ -55,6 +55,9 @@ CONFIGS = [
     ("u50-d128", 10_000, 500_000, 50, 128),
     ("u200-d128", 100_000, 2_000_000, 200, 128),
     ("xl-d128", 50_000, 1_000_000, 237, 128),
+    # d=64: ragged_dot vs the round-4 pair-packed kernel route (two
+    # same-relation rows per 128-lane row, blockdiag banks).
+    ("xl-d64", 50_000, 1_000_000, 237, 64),
 ]
 SMALL = [("small-d128", 1_000, 50_000, 20, 128)]
 
@@ -179,6 +182,32 @@ def run(name, n, e, u, d, reps=5, with_bwd=False):
         print(json.dumps({
             "config": name, "pallas_combined_vs_ref_sum_max_err": err_c,
         }))
+    if jax.default_backend() == "tpu" and d == 64:
+        # Pair-packed route (ops/message_passing.py 'pallas_packed'):
+        # groups are GROUP_PAD-aligned so pairs never cross a relation
+        # boundary; blockdiag(W, W) reproduces both rows' x @ W exactly.
+        def packed_fn(h, src, dst, rel, w_msg, w_self, bias):
+            xs = h[src].reshape(e_pad // 2, 2 * d)
+            xd = h[dst].reshape(e_pad // 2, 2 * d)
+            z = jnp.zeros_like(w_msg)
+            w2m = jnp.concatenate(
+                [jnp.concatenate([w_msg, z], 2),
+                 jnp.concatenate([z, w_msg], 2)], 1)
+            w2s = jnp.concatenate(
+                [jnp.concatenate([w_self, z], 2),
+                 jnp.concatenate([z, w_self], 2)], 1)
+            b2 = jnp.concatenate([bias, bias], -1)
+            c = edge_transform_sorted_combined(
+                xs, xd, rel[::2], w2m, w2s, b2, None, 128, False,
+            ).reshape(e_pad, d)
+            return c, c
+
+        got_p = bench(packed_fn, "pallas-packed")
+        if not with_bwd:
+            err_p = float(jnp.max(jnp.abs(got_p[0] - (ref[0] + ref[1]))))
+            print(json.dumps({
+                "config": name, "packed_vs_ref_sum_max_err": err_p,
+            }))
     if got is not None:
         err = float(
             jnp.max(jnp.abs(got[0] - ref[0])) + jnp.max(jnp.abs(got[1] - ref[1]))
