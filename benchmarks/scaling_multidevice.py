@@ -219,6 +219,79 @@ def main():
             results[(variant, k)] = row
             print(json.dumps(row))
 
+    # Pod-scale scheduled-ppermute halo inside the composed step: same
+    # exactness, per-round padded wire (parallel/halo.py).
+    from graph_hypernetwork_forge_tpu.parallel.halo import (
+        build_scheduled_halo_plan,
+        scheduled_halo_bytes_per_device,
+        scheduled_halo_padding_factor,
+    )
+
+    for k in (4, 8):
+        mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+        inputs = prepare_composed_inputs(graph, feats, k, halo=True,
+                                         scheduled=True)
+        step = make_composed_train_step(
+            mesh, config, optimizer, inputs.nodes_per_shard,
+            num_nodes=inputs.num_nodes, halo_width=inputs.halo_width,
+            scheduled_rounds=inputs.sched_round_perms,
+        )
+        arrays = tuple(
+            jnp.asarray(a) for a in (
+                inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+                inputs.edge_mask, inputs.char_ids, inputs.lengths,
+            )
+        )
+        kwargs = dict(
+            src_halo=jnp.asarray(inputs.src_halo),
+            send_idx=tuple(jnp.asarray(t) for t in inputs.sched_send_tables),
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, base_params)
+        opt_state = optimizer.init(params)
+        rng = jax.random.PRNGKey(1)
+        flops = per_device_flops(step, params, opt_state, arrays, rng, kwargs)
+        params, opt_state, loss = step(params, opt_state, *arrays, rng, **kwargs)
+        float(loss)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rng, sr = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, *arrays, sr, **kwargs
+            )
+            float(loss)
+        dt = time.perf_counter() - t0
+        splan = build_scheduled_halo_plan(
+            graph.src, graph.dst, graph.rel_ids, graph.edge_mask, N, k
+        )
+        dplan = build_halo_plan(
+            graph.src, graph.dst, graph.rel_ids, graph.edge_mask, N, k
+        )
+        row = {
+            "variant": "halo-scheduled",
+            "devices": k,
+            "edges": E,
+            "nodes": N,
+            "num_rounds": splan.num_rounds,
+            "flops_per_device": flops,
+            "flop_efficiency_vs_1dev": round(
+                results[("halo", 1)]["flops_per_device"] / (k * flops), 3
+            ),
+            "fwd_bwd_edges_per_s": round(reps * E / dt, 1),
+            "step_ms": round(1e3 * dt / reps, 2),
+            "exchange_mib_per_dev": round(
+                scheduled_halo_bytes_per_device(splan, D) / 2**20, 4
+            ),
+            "exchange_mib_per_dev_dense_pairs": round(
+                halo_bytes_per_device(dplan, D) / 2**20, 4
+            ),
+            "padding_factor": round(scheduled_halo_padding_factor(splan), 3),
+            "host_cores": host_cores,
+            "loss": round(float(loss), 4),
+        }
+        results[("halo-scheduled", k)] = row
+        print(json.dumps(row))
+
     # 2D composition: edge sharding × Megatron TP in one program
     # (parallel/composed_tp.py). The wire-bytes story: the per-layer bank
     # all_gather rides the edge axis with [U, d_in/k_m, d_out] shards —
