@@ -402,6 +402,53 @@ def _pick_backend(
     return "dense"
 
 
+def resolve_backend(
+    backend: Backend, num_nodes: int, num_rel: int, num_edges: int,
+    d_in: int, d_out: int, *, rel_sorted: bool, group_padded: bool,
+    has_sort_plan: bool, platform: str,
+) -> str:
+    """Full backend resolution incl. the TPU kernel upgrades (pure —
+    unit-testable without a device; ``platform`` is injected).
+
+    ``auto`` → the FLOP/memory-regime pick (:func:`_pick_backend`), then:
+    - ``pallas`` on TPU rel-sorted group-padded layouts at d % 128 == 0
+      (streaming kernel measured 1.4-1.7x over ragged_dot);
+    - ``pallas_packed`` on TPU rel-sorted group-padded d=64 layouts with a
+      SortPlan at >= 65k rows (pair-packed rows through the same kernel —
+      measured: xl 191 vs 287 ms, large 16.7 vs 36.3; below the row gate
+      ragged wins, 3.9 vs 8.0 ms at bench config).
+    """
+    chosen = _pick_backend(
+        backend, num_nodes, num_rel, num_edges, d_out, rel_sorted=rel_sorted
+    )
+    if (
+        chosen == "grouped"
+        and backend == "auto"
+        and rel_sorted
+        and group_padded
+        and platform == "tpu"
+        and d_in % 128 == 0
+        and d_out % 128 == 0
+    ):
+        chosen = "pallas"
+    if (
+        chosen == "grouped"
+        and backend == "auto"
+        and rel_sorted
+        and group_padded
+        and has_sort_plan
+        and platform == "tpu"
+        and d_in == 64
+        and d_out == 64
+        and num_edges >= 65_536
+    ):
+        # d=64 never reaches the 128-lane Mosaic kernel directly (sub-lane
+        # blocks wedge this stack's compiler) and ragged_dot is measured
+        # far off its d=128 efficiency.
+        chosen = "pallas_packed"
+    return chosen
+
+
 def relational_message_passing(
     h: jax.Array,
     src: jax.Array,
@@ -478,51 +525,18 @@ def relational_message_passing(
     n = int(h.shape[0]) if num_nodes is None else num_nodes
     u = int(w_msg.shape[0])
     e = int(src.shape[0])
-    chosen = _pick_backend(
-        backend, n, u, e, int(w_msg.shape[-1]), rel_sorted=rel_sorted
+    chosen = resolve_backend(
+        backend, n, u, e, int(w_msg.shape[1]), int(w_msg.shape[2]),
+        rel_sorted=rel_sorted, group_padded=group_padded,
+        has_sort_plan=sort_plan is not None,
+        platform=jax.default_backend(),
     )
-    if (
-        chosen == "grouped"
-        and backend == "auto"
-        and rel_sorted
-        and group_padded
-        and jax.default_backend() == "tpu"
-        and int(w_msg.shape[1]) % 128 == 0
-        and int(w_msg.shape[2]) % 128 == 0
-    ):
-        # Measured on-chip (benchmarks/results/kernels_r3.json): the
-        # streaming single-relation-tile kernel beats ragged_dot 1.4-1.7x
-        # at d=128 and is f32-exact at precision="highest".
-        chosen = "pallas"
 
     if chosen == "chunked":
         return _mp_chunked(
             h, src, dst, rel_ids, w_msg, w_self, bias, edge_mask, n, 32_768,
             precision,
         )
-
-    if (
-        chosen == "grouped"
-        and backend == "auto"
-        and rel_sorted
-        and group_padded
-        and sort_plan is not None
-        and jax.default_backend() == "tpu"
-        and int(w_msg.shape[1]) == 64
-        and int(w_msg.shape[2]) == 64
-        # Below ~65k rows the streaming kernel's fixed costs lose to
-        # ragged_dot (measured: bench config 8.0 vs 3.9 ms/step packed vs
-        # grouped at E=10k; large config 17.5 vs 36.3 ms WIN at E=100k;
-        # xl 191 vs 287 ms at E=1M).
-        and int(src.shape[0]) >= 65_536
-    ):
-        # d=64 never reaches the 128-lane Mosaic kernel directly (sub-lane
-        # blocks wedge this stack's compiler) and ragged_dot is measured
-        # far off its d=128 efficiency. Pair-packing recovers the fast
-        # path: two consecutive same-relation rows per 128-lane row with
-        # block-diagonal banks — 2x the true d=64 MACs, but through the
-        # streaming kernel.
-        chosen = "pallas_packed"
 
     if chosen == "pallas":
         d_in, d_out = int(w_msg.shape[1]), int(w_msg.shape[2])

@@ -288,3 +288,48 @@ class TestChunkedBackend:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4
             )
+
+
+class TestResolveBackend:
+    """Pure backend-resolution logic incl. the TPU kernel upgrades (the
+    device-dependent picks are unit-tested by injecting the platform)."""
+
+    def test_packed_pick_requires_all_conditions(self):
+        from graph_hypernetwork_forge_tpu.ops.message_passing import (
+            resolve_backend,
+        )
+
+        base = dict(rel_sorted=True, group_padded=True, has_sort_plan=True,
+                    platform="tpu")
+        # xl-shaped: auto -> grouped -> packed upgrade at d=64, >=65k rows.
+        assert resolve_backend(
+            "auto", 50_000, 237, 1_048_576, 64, 64, **base
+        ) == "pallas_packed"
+        # d=128 goes to the streaming kernel instead.
+        assert resolve_backend(
+            "auto", 50_000, 237, 1_048_576, 128, 128, **base
+        ) == "pallas"
+        # Below the row gate: ragged wins (measured 3.9 vs 8.0 ms).
+        assert resolve_backend(
+            "auto", 1_000, 50, 16_384, 64, 64, **base
+        ) == "grouped"
+        # Each missing precondition falls back to grouped.
+        for missing in (
+            dict(platform="cpu"),
+            dict(rel_sorted=False),
+            dict(group_padded=False),
+            dict(has_sort_plan=False),
+        ):
+            kw = {**base, **missing}
+            got = resolve_backend("auto", 50_000, 237, 1_048_576, 64, 64, **kw)
+            assert got != "pallas_packed", missing
+
+    def test_explicit_backend_is_untouched(self):
+        from graph_hypernetwork_forge_tpu.ops.message_passing import (
+            resolve_backend,
+        )
+
+        assert resolve_backend(
+            "dense", 50_000, 237, 1_048_576, 64, 64, rel_sorted=True,
+            group_padded=True, has_sort_plan=True, platform="tpu",
+        ) == "dense"
