@@ -566,3 +566,57 @@ def test_composed_scheduled_halo_matches_dense_pairs():
         jax.tree_util.tree_leaves(p_d), jax.tree_util.tree_leaves(p_s)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
+
+@pytest.mark.slow
+def test_composed_scheduled_grouped_agg_sorted_matches_dense_pairs():
+    """The full pod production combo — scheduled-ppermute exchange +
+    relation-grouped contributions + sort-free aggregation — matches the
+    plain halo step on the same layout (same rng -> identical negatives)."""
+    graph, feats, config, params = _setup(seed=19)
+    k = 4
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    base_in = prepare_composed_inputs(graph, feats, k, halo=True,
+                                      rel_sort_local=True)
+    pod_in = prepare_composed_inputs(graph, feats, k, halo=True,
+                                     scheduled=True, rel_sort_local=True)
+    np.testing.assert_array_equal(base_in.dst, pod_in.dst)
+    optimizer = optax.adam(1e-2)
+    rng = jax.random.PRNGKey(41)
+    arrays = lambda i: tuple(
+        jnp.asarray(a) for a in (
+            i.feats, i.src, i.dst, i.rel_ids, i.edge_mask, i.char_ids,
+            i.lengths,
+        )
+    )
+
+    base_step = make_composed_train_step(
+        mesh, config, optimizer, base_in.nodes_per_shard,
+        num_nodes=base_in.num_nodes, halo_width=base_in.halo_width,
+        contrib="grouped",
+    )
+    p_b, _, l_b = base_step(
+        params, optimizer.init(params), *arrays(base_in), rng,
+        src_halo=jnp.asarray(base_in.src_halo),
+        send_idx=jnp.asarray(base_in.send_idx),
+        rel_group_sizes=jnp.asarray(base_in.rel_group_sizes),
+    )
+
+    pod_step = make_composed_train_step(
+        mesh, config, optimizer, pod_in.nodes_per_shard,
+        num_nodes=pod_in.num_nodes, halo_width=pod_in.halo_width,
+        contrib="grouped", agg_sorted=True,
+        scheduled_rounds=pod_in.sched_round_perms,
+    )
+    p_p, _, l_p = pod_step(
+        params, optimizer.init(params), *arrays(pod_in), rng,
+        src_halo=jnp.asarray(pod_in.src_halo),
+        send_idx=tuple(jnp.asarray(t) for t in pod_in.sched_send_tables),
+        rel_group_sizes=jnp.asarray(pod_in.rel_group_sizes),
+        agg_plan=tuple(jnp.asarray(a) for a in pod_in.agg_plan),
+    )
+    np.testing.assert_allclose(float(l_p), float(l_b), atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_b), jax.tree_util.tree_leaves(p_p)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
