@@ -28,7 +28,10 @@ import optax
 
 sys.path.insert(0, ".")
 
-from graph_hypernetwork_forge_tpu.data.datasets import wn18rr_zero_shot_like
+from graph_hypernetwork_forge_tpu.data.datasets import (
+    fb15k237_like,
+    wn18rr_zero_shot_like,
+)
 from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
 from graph_hypernetwork_forge_tpu.models.hypergnn import (
     HyperGNNConfig,
@@ -126,6 +129,10 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--dataset", default="wn18rr-zeroshot",
+                   choices=["wn18rr-zeroshot", "fb15k237"],
+                   help="fb15k237 is transductive (no zero-shot holdout): "
+                        "the zero_shot_* columns are then absent")
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--negatives", default="1,8,32")
@@ -151,7 +158,9 @@ def main():
         for seed in seeds:
             # Dataset varies with seed too (synthetic): both graph and
             # init randomness contribute to the variance bars.
-            kg = wn18rr_zero_shot_like(seed=seed, scale=args.scale)
+            maker = (fb15k237_like if args.dataset == "fb15k237"
+                     else wn18rr_zero_shot_like)
+            kg = maker(seed=seed, scale=args.scale)
             config = HyperGNNConfig(
                 text_dim=64, node_feat_dim=kg.node_features.shape[1],
                 hidden_dim=64, num_layers=2, rel_sorted=True,
@@ -162,7 +171,8 @@ def main():
             )
             emit(row)
             rows.append(row)
-        agg = {"aggregate": True, "num_negatives": k,
+        agg = {"aggregate": True, "dataset": args.dataset,
+               "num_negatives": k,
                "lr_schedule": args.lr_schedule, "steps": args.steps,
                "scale": args.scale, "adv_temp": args.adv_temp,
                "n_seeds": len(seeds)}
