@@ -45,7 +45,7 @@ from graph_hypernetwork_forge_tpu.training.train import make_train_step
 
 
 def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
-            adv_temp=0.0):
+            adv_temp=0.0, weight_decay=0.0, eval_every=0):
     train_ei, train_texts = kg.split_edges("train")
     test_ei, test_texts = kg.split_edges("test")
     graph = encode_graph(
@@ -62,12 +62,35 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
         )
     else:
         sched = lr
-    optimizer = optax.adam(sched)
+    optimizer = (
+        optax.adamw(sched, weight_decay=weight_decay)
+        if weight_decay > 0.0 else optax.adam(sched)
+    )
     opt_state = optimizer.init(params)
     step_fn = make_train_step(
         config, optimizer, num_negatives=num_negatives,
         adversarial_temperature=adv_temp,
     )
+
+    # Best-on-valid model selection: evaluate the valid split every
+    # ``eval_every`` steps (embeddings from the TRAIN graph — valid edges
+    # never enter message passing) and keep the params with the best
+    # filtered valid MRR. Filtering uses train+valid known-true edges.
+    valid_ei, _ = kg.split_edges("valid")
+    sel_filter = np.concatenate([train_ei, valid_ei], axis=1)
+    valid_curve = []
+    best = {"step": 0, "valid_mrr": -1.0, "params": None}
+
+    def eval_valid(params, step):
+        embs_v = apply_hypergnn(config, params, feats, *arrays)
+        mv = evaluate_link_prediction(
+            embs_v, valid_ei[0], valid_ei[1], filter_edges=sel_filter
+        )
+        valid_curve.append({"step": step, "valid_mrr": round(mv["mrr"], 4)})
+        if mv["mrr"] > best["valid_mrr"]:
+            best.update(
+                step=step, valid_mrr=mv["mrr"], params=jax.device_get(params)
+            )
 
     rng = jax.random.PRNGKey(seed + 1)
     t0 = time.perf_counter()
@@ -75,6 +98,8 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
     for s in range(steps):
         rng, sr = jax.random.split(rng)
         params, opt_state, loss = step_fn(params, opt_state, feats, *arrays, sr)
+        if eval_every and (s + 1) % eval_every == 0:
+            eval_valid(params, s + 1)
     final_loss = float(loss)  # one sync at the end
     train_s = time.perf_counter() - t0
 
@@ -90,6 +115,8 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
         "steps": steps,
         "lr_schedule": lr_schedule,
         "adv_temp": adv_temp,
+        "dropout": config.dropout,
+        "weight_decay": weight_decay,
         "final_loss": round(final_loss, 4),
         "train_s": round(train_s, 1),
     }
@@ -123,6 +150,31 @@ def run_one(kg, config, num_negatives, steps, lr, seed, lr_schedule="cosine",
                     "hits@10": round(r["hits@10"], 4),
                 }
         out["zero_shot_per_relation"] = per_rel
+
+    if eval_every and best["params"] is not None:
+        # Test metrics for the best-on-valid checkpoint (``sel_*`` keys):
+        # the number a deployment would actually ship, vs the final-step
+        # numbers above which drift once training overfits.
+        out["valid_curve"] = valid_curve
+        out["best_step"] = best["step"]
+        out["best_valid_mrr"] = round(best["valid_mrr"], 4)
+        sel_params = jax.device_put(best["params"])
+        sel_embs = apply_hypergnn(
+            config, sel_params, feats,
+            *(jnp.asarray(a) for a in full_graph.arrays),
+        )
+        m = evaluate_link_prediction(
+            sel_embs, test_ei[0], test_ei[1], filter_edges=kg.edge_index
+        )
+        out.update({f"sel_{k}": round(v, 4) for k, v in m.items()})
+        if zs_mask.any():
+            zs = evaluate_link_prediction(
+                sel_embs, test_ei[0][zs_mask], test_ei[1][zs_mask],
+                filter_edges=kg.edge_index,
+            )
+            out.update(
+                {f"sel_zero_shot_{k}": round(v, 4) for k, v in zs.items()}
+            )
     return out
 
 
@@ -141,8 +193,20 @@ def main():
                    choices=["constant", "cosine"])
     p.add_argument("--adv-temp", type=float, default=0.0,
                    help="self-adversarial negative temperature (0 = uniform)")
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="AdamW decoupled weight decay (0 = plain Adam)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate the valid split every N steps and report "
+                        "sel_* test metrics from the best-on-valid params")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) so background "
+                        "sweeps never contend for the TPU")
     p.add_argument("--out", default=None)
     args = p.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     negatives = [int(x) for x in args.negatives.split(",")]
     seeds = [int(x) for x in args.seeds.split(",")]
@@ -164,10 +228,12 @@ def main():
             config = HyperGNNConfig(
                 text_dim=64, node_feat_dim=kg.node_features.shape[1],
                 hidden_dim=64, num_layers=2, rel_sorted=True,
+                dropout=args.dropout,
             )
             row = run_one(
                 kg, config, k, args.steps, args.lr, seed,
                 lr_schedule=args.lr_schedule, adv_temp=args.adv_temp,
+                weight_decay=args.weight_decay, eval_every=args.eval_every,
             )
             emit(row)
             rows.append(row)
@@ -175,8 +241,11 @@ def main():
                "num_negatives": k,
                "lr_schedule": args.lr_schedule, "steps": args.steps,
                "scale": args.scale, "adv_temp": args.adv_temp,
+               "dropout": args.dropout, "weight_decay": args.weight_decay,
                "n_seeds": len(seeds)}
-        for key in ("mrr", "hits@10", "zero_shot_mrr", "zero_shot_hits@10"):
+        for key in ("mrr", "hits@10", "zero_shot_mrr", "zero_shot_hits@10",
+                    "sel_mrr", "sel_hits@10", "sel_zero_shot_mrr",
+                    "sel_zero_shot_hits@10", "best_step"):
             vals = [r[key] for r in rows if key in r]
             if vals:
                 agg[f"{key}_mean"] = round(float(np.mean(vals)), 4)

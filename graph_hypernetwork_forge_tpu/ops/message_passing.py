@@ -320,17 +320,17 @@ def _edge_contributions_grouped(h, src, dst, rel_ids, w_msg, w_self, bias, preci
         # routes its backward through the plan's permutations so the
         # cotangent scatters become sorted-hint segment-sums
         # (ops/segment.py). Zero in-jit sorts, forward or backward.
-        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+        from graph_hypernetwork_forge_tpu.ops.segment import (
+            take_rows_pair,
+            take_rows_sorted,
+        )
 
         n = h.shape[0]
         group_sizes = sort_plan.rel_counts[:u]
-        h_src = take_rows_sorted(
-            n, h, src, sort_plan.src_perm, sort_plan.src_sorted,
-            sort_plan.src_splits,
-        )
-        h_dst = take_rows_sorted(
-            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
-            sort_plan.dst_splits,
+        h_src, h_dst = take_rows_pair(
+            n, h, src, dst,
+            sort_plan.src_perm, sort_plan.src_sorted, sort_plan.src_splits,
+            sort_plan.dst_perm, sort_plan.dst_sorted, sort_plan.dst_splits,
         )
         # rel_ids are already non-decreasing in the rel-sorted layout, so
         # the bias cotangent needs no re-permute (perm_to_sorted=None).
@@ -583,15 +583,12 @@ def relational_message_passing(
         from graph_hypernetwork_forge_tpu.ops.pallas.edge_transform import (
             edge_transform_sorted_combined,
         )
-        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_pair
 
-        x_src = take_rows_sorted(
-            n, h, src, sort_plan.src_perm, sort_plan.src_sorted,
-            sort_plan.src_splits,
-        )
-        x_dst = take_rows_sorted(
-            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
-            sort_plan.dst_splits,
+        x_src, x_dst = take_rows_pair(
+            n, h, src, dst,
+            sort_plan.src_perm, sort_plan.src_sorted, sort_plan.src_splits,
+            sort_plan.dst_perm, sort_plan.dst_sorted, sort_plan.dst_splits,
         )
         e_rows = x_src.shape[0]
         x2s = x_src.reshape(e_rows // 2, 128)

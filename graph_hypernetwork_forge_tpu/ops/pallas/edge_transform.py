@@ -517,16 +517,13 @@ def edge_contributions_pallas_sorted(
     whole layer sort-free end to end.
     """
     if sort_plan is not None:
-        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_pair
 
         n = h.shape[0]
-        x_src = take_rows_sorted(
-            n, h, src, sort_plan.src_perm, sort_plan.src_sorted,
-            sort_plan.src_splits,
-        )
-        x_dst = take_rows_sorted(
-            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
-            sort_plan.dst_splits,
+        x_src, x_dst = take_rows_pair(
+            n, h, src, dst,
+            sort_plan.src_perm, sort_plan.src_sorted, sort_plan.src_splits,
+            sort_plan.dst_perm, sort_plan.dst_sorted, sort_plan.dst_splits,
         )
     else:
         x_src = h[src]
@@ -553,16 +550,13 @@ def edge_contributions_pallas_combined(
     """
     rel_splits = None
     if sort_plan is not None:
-        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+        from graph_hypernetwork_forge_tpu.ops.segment import take_rows_pair
 
         n = h.shape[0]
-        x_src = take_rows_sorted(
-            n, h, src, sort_plan.src_perm, sort_plan.src_sorted,
-            sort_plan.src_splits,
-        )
-        x_dst = take_rows_sorted(
-            n, h, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
-            sort_plan.dst_splits,
+        x_src, x_dst = take_rows_pair(
+            n, h, src, dst,
+            sort_plan.src_perm, sort_plan.src_sorted, sort_plan.src_splits,
+            sort_plan.dst_perm, sort_plan.dst_sorted, sort_plan.dst_splits,
         )
         rel_splits = sort_plan.rel_splits
     else:

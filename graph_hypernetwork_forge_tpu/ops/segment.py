@@ -156,6 +156,19 @@ def sorted_segment_sum(
             (c for c in (1024, 512, 256) if e_rows % c == 0), 256
         )
         d_pad = -(-d // 128) * 128
+        if d == 64 and e_rows % 2 == 0:
+            # Pair-packed d=64 path: NO [E, 128] pad materialization and
+            # half the kernel HBM bytes — even/odd edge rows ride the
+            # low/high lanes of a [E/2, 128] view with integer-transformed
+            # interval sets (ops/pallas/segment_sum.py dual kernel).
+            from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+                sorted_segment_sum_packed64,
+            )
+
+            return sorted_segment_sum_packed64(
+                values_sorted, ids_sorted, num_segments,
+                splits=splits[: num_segments + 1],
+            )
         if d_pad != d:
             # Sub-lane widths wedge Mosaic, so pad the column axis to the
             # 128-lane width (measured neutral-to-winning vs the XLA
@@ -260,6 +273,90 @@ def _take_rows_sorted_bwd(num_rows, res, g):
 
 
 take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def take_rows_pair(
+    num_rows: int,
+    table: jax.Array,
+    idx_a: jax.Array,
+    idx_b: jax.Array,
+    perm_a: jax.Array | None,
+    sorted_a: jax.Array,
+    splits_a: jax.Array | None,
+    perm_b: jax.Array | None,
+    sorted_b: jax.Array,
+    splits_b: jax.Array | None,
+) -> tuple[jax.Array, jax.Array]:
+    """``(table[idx_a], table[idx_b])`` with a FUSED dual-stream VJP.
+
+    The per-layer gather pair (``h[src]``, ``h[dst]``) and the loss's
+    (head, tail) gathers both produce a (src-sorted, dst-sorted) cotangent
+    pair in the backward. Two separate :func:`take_rows_sorted` calls
+    reduce those in two kernel passes (plus, at d=64, two [E, 128] pad
+    copies); this op routes BOTH through one dual-interval CSR kernel pass
+    (``ops/pallas/segment_sum.dual_sorted_segment_sum_pallas``) and sums
+    the results into one ``dtable``. Arguments mirror two
+    :func:`take_rows_sorted` calls; the forward is two plain gathers.
+    """
+    return jnp.take(table, idx_a, axis=0), jnp.take(table, idx_b, axis=0)
+
+
+# Minimum rows for the fused dual cotangent reduce (same regime as the
+# single-stream Pallas gate above).
+_DUAL_MIN_ROWS = _PALLAS_SEGSUM_MIN_ROWS
+
+
+def _take_rows_pair_fwd(num_rows, table, idx_a, idx_b, perm_a, sorted_a,
+                        splits_a, perm_b, sorted_b, splits_b):
+    out = (jnp.take(table, idx_a, axis=0), jnp.take(table, idx_b, axis=0))
+    proto = jnp.zeros((0,), table.dtype)
+    res = (idx_a, idx_b, perm_a, sorted_a, splits_a, perm_b, sorted_b,
+           splits_b, proto)
+    return out, res
+
+
+def _take_rows_pair_bwd(num_rows, res, g):
+    (idx_a, idx_b, perm_a, sorted_a, splits_a, perm_b, sorted_b, splits_b,
+     proto) = res
+    ga, gb = g
+    if perm_a is not None:
+        ga = jnp.take(ga, perm_a, axis=0, unique_indices=True)
+    if perm_b is not None:
+        gb = jnp.take(gb, perm_b, axis=0, unique_indices=True)
+    d = ga.shape[-1] if ga.ndim == 2 else 0
+    if (
+        splits_a is not None
+        and splits_b is not None
+        and jax.default_backend() == "tpu"
+        and ga.shape == gb.shape
+        and d in (64, 128)
+        and ga.shape[0] >= _DUAL_MIN_ROWS
+        and splits_a.shape[0] >= num_rows + 1
+        and splits_b.shape[0] >= num_rows + 1
+        and ga.dtype == gb.dtype
+    ):
+        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
+            dual_sorted_segment_sum_pallas,
+        )
+
+        da, db = dual_sorted_segment_sum_pallas(
+            ga, gb, num_rows,
+            splits_a[: num_rows + 1], splits_b[: num_rows + 1],
+        )
+        dtable = da + db
+    else:
+        dtable = sorted_segment_sum(
+            ga, sorted_a, num_rows, splits_a
+        ) + sorted_segment_sum(gb, sorted_b, num_rows, splits_b)
+    dtable = dtable.astype(proto.dtype)
+    maybe_f0 = lambda a: None if a is None else _float0_like(a)
+    return (dtable, _float0_like(idx_a), _float0_like(idx_b),
+            maybe_f0(perm_a), _float0_like(sorted_a), maybe_f0(splits_a),
+            maybe_f0(perm_b), _float0_like(sorted_b), maybe_f0(splits_b))
+
+
+take_rows_pair.defvjp(_take_rows_pair_fwd, _take_rows_pair_bwd)
 
 
 def sorted_segment_sum_by_plan(

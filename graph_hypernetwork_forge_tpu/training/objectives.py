@@ -121,16 +121,18 @@ def link_prediction_loss_sorted(
     enter the mean, matching the masked-mean semantics of
     :func:`margin_ranking_loss`.
     """
-    from graph_hypernetwork_forge_tpu.ops.segment import take_rows_sorted
+    from graph_hypernetwork_forge_tpu.ops.segment import take_rows_pair
 
     n = embs.shape[0]
-    pos_h = take_rows_sorted(
-        n, embs, src, sort_plan.src_perm, sort_plan.src_sorted,
-        sort_plan.src_splits,
-    )
-    pos_t = take_rows_sorted(
-        n, embs, dst, sort_plan.dst_perm, sort_plan.dst_sorted,
-        sort_plan.dst_splits,
+    # Fused gather pair: the (src-sorted, dst-sorted) cotangent reductions
+    # of BOTH gathers run in one dual-interval CSR kernel pass (and at
+    # d=64 skip the [E, 128] pad copies) — the loss stage was measured at
+    # 42.6 ms/step at xl with two separate reduce passes
+    # (benchmarks/results/xl_breakdown_r4.json).
+    pos_h, pos_t = take_rows_pair(
+        n, embs, src, dst,
+        sort_plan.src_perm, sort_plan.src_sorted, sort_plan.src_splits,
+        sort_plan.dst_perm, sort_plan.dst_sorted, sort_plan.dst_splits,
     )
     neg_t = jnp.roll(pos_t, -roll_shift, axis=0)
     pos = jnp.sum(pos_h * pos_t, axis=-1)
