@@ -184,6 +184,14 @@ def save_triples_dataset(
         list(entity_names) if entity_names is not None
         else [f"e{i}" for i in range(kg.num_nodes)]
     )
+    if len(set(kg.relation_texts)) != len(kg.relation_texts):
+        # Per-edge relations are only recoverable via their text
+        # (SyntheticKG carries no per-edge relation ids); two relations
+        # sharing a description would silently merge on round-trip.
+        raise ValueError(
+            "save_triples_dataset requires unique relation_texts: "
+            "duplicate descriptions would merge distinct relations"
+        )
     text_to_tok = {t: f"r{i}" for i, t in enumerate(kg.relation_texts)}
     with open(os.path.join(path, "relation_texts.txt"), "w",
               encoding="utf-8") as f:

@@ -561,6 +561,20 @@ def relational_message_passing(
                 "rel-sorted GROUP_PAD-padded layout (even group sizes), "
                 "and a SortPlan"
             )
+        # The packed kernel's 128-pair tiles span 256 edge rows: every
+        # relation-group boundary must be 256-aligned or a tile silently
+        # applies its first relation's weights to a second relation's rows.
+        # The encode_graph(group_pad=256) path guarantees it; direct
+        # callers are checked here whenever the plan still carries host
+        # (numpy) arrays — inside jit the boolean contract above is all
+        # that can be enforced.
+        rs = getattr(sort_plan, "rel_splits", None)
+        if isinstance(rs, np.ndarray) and (rs % 256).any():
+            raise ValueError(
+                "backend='pallas_packed' needs relation groups padded to "
+                "a 256-edge multiple (encode_graph(group_pad=256)); got "
+                "rel_splits with boundaries not 256-aligned"
+            )
 
     from graph_hypernetwork_forge_tpu.ops.segment import (
         segment_sum,

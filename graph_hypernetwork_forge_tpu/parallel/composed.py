@@ -136,6 +136,11 @@ def prepare_composed_inputs(
     invariant within a shard, so all other plan arrays stay valid.
     """
     feats = np.asarray(node_features, dtype=np.float32)
+    if scheduled and not halo:
+        raise ValueError(
+            "scheduled=True requires halo=True: the scheduled ppermute "
+            "rounds are a halo-exchange layout, not a standalone mode"
+        )
     n = graph.num_nodes
     src_halo = send_idx = None
     halo_width = 0

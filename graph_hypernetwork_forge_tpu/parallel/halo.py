@@ -480,6 +480,10 @@ def scheduled_halo_exchange(h_local, send_tables_l, round_perms, axis: str):
     for tbl, perm in zip(send_tables_l, round_perms):
         buf = h_local[tbl[0]]  # [B_r, d]
         blocks.append(jax.lax.ppermute(buf, axis, perm=list(perm)))
+    if not blocks:
+        # Fully-local partition (zero cross-shard boundary rows — exactly
+        # what locality_relabel aims for): no rounds, empty halo buffer.
+        return jnp.zeros((0, h_local.shape[1]), h_local.dtype)
     return jnp.concatenate(blocks, axis=0)
 
 
