@@ -599,8 +599,11 @@ def relational_message_passing(
         )
         from graph_hypernetwork_forge_tpu.ops.segment import take_rows_pair
 
+        # Gather table size is h's row count — NOT the aggregation segment
+        # count n (they differ in the composed per-shard case, where h is
+        # the [local ++ halo] row table but aggregation outputs npp rows).
         x_src, x_dst = take_rows_pair(
-            n, h, src, dst,
+            int(h.shape[0]), h, src, dst,
             sort_plan.src_perm, sort_plan.src_sorted, sort_plan.src_splits,
             sort_plan.dst_perm, sort_plan.dst_sorted, sort_plan.dst_splits,
         )

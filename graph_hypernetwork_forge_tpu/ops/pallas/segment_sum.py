@@ -471,11 +471,18 @@ def dual_sorted_segment_sum_pallas(
     are ``splits_a`` / ``splits_b`` (``[num_segments + 1]``, host-
     precomputed). Returns ``(sum_a [N, dh], sum_b [N, dh])``. This is the
     (src-sorted, dst-sorted) cotangent-pair shape of every layer backward
-    and of the link-prediction loss backward; fusing halves chunk-loop
-    iterations vs two passes and (at dh=64) skips both pad copies.
+    and of the link-prediction loss backward.
 
-    Differentiation: the caller sites (``take_rows_pair``) wrap this in
-    their own VJPs; this function itself is forward-only plumbing.
+    MEASURED NEGATIVE RESULT (kept for the record, not used in
+    production): at [1M] rows this one-pass form is NO faster than two
+    single-stream passes (d64: 4.04 vs 4.01 ms; d128: 3.74 vs 3.12 ms —
+    benchmarks/results/segsum_dual_r5.json). The lane-masked folds do 2x
+    the MXU MACs (each interval set folds both lane halves), and at
+    chunk=1024 the kernel is bandwidth-bound, not per-chunk-bound, so
+    halving chunk iterations buys nothing. The same dual-interval
+    machinery IS the production win in
+    :func:`sorted_segment_sum_packed64` (one stream pair-packed into both
+    halves — same MACs as the padded form, half the bytes, no pad copy).
     """
     e, dh = xa_sorted.shape
     assert xb_sorted.shape == (e, dh), (xa_sorted.shape, xb_sorted.shape)

@@ -288,23 +288,18 @@ def take_rows_pair(
     sorted_b: jax.Array,
     splits_b: jax.Array | None,
 ) -> tuple[jax.Array, jax.Array]:
-    """``(table[idx_a], table[idx_b])`` with a FUSED dual-stream VJP.
+    """``(table[idx_a], table[idx_b])`` with a joint summed-cotangent VJP.
 
     The per-layer gather pair (``h[src]``, ``h[dst]``) and the loss's
     (head, tail) gathers both produce a (src-sorted, dst-sorted) cotangent
-    pair in the backward. Two separate :func:`take_rows_sorted` calls
-    reduce those in two kernel passes (plus, at d=64, two [E, 128] pad
-    copies); this op routes BOTH through one dual-interval CSR kernel pass
-    (``ops/pallas/segment_sum.dual_sorted_segment_sum_pallas``) and sums
-    the results into one ``dtable``. Arguments mirror two
-    :func:`take_rows_sorted` calls; the forward is two plain gathers.
+    pair in the backward; this op reduces both against ONE ``dtable``
+    without materializing two separate ``[num_rows, d]`` gradients that
+    XLA then adds. Each stream reduces through the dispatcher
+    (:func:`sorted_segment_sum` — the pad-free packed64 kernel at d=64).
+    Arguments mirror two :func:`take_rows_sorted` calls; the forward is
+    two plain gathers.
     """
     return jnp.take(table, idx_a, axis=0), jnp.take(table, idx_b, axis=0)
-
-
-# Minimum rows for the fused dual cotangent reduce (same regime as the
-# single-stream Pallas gate above).
-_DUAL_MIN_ROWS = _PALLAS_SEGSUM_MIN_ROWS
 
 
 def _take_rows_pair_fwd(num_rows, table, idx_a, idx_b, perm_a, sorted_a,
@@ -324,31 +319,15 @@ def _take_rows_pair_bwd(num_rows, res, g):
         ga = jnp.take(ga, perm_a, axis=0, unique_indices=True)
     if perm_b is not None:
         gb = jnp.take(gb, perm_b, axis=0, unique_indices=True)
-    d = ga.shape[-1] if ga.ndim == 2 else 0
-    if (
-        splits_a is not None
-        and splits_b is not None
-        and jax.default_backend() == "tpu"
-        and ga.shape == gb.shape
-        and d in (64, 128)
-        and ga.shape[0] >= _DUAL_MIN_ROWS
-        and splits_a.shape[0] >= num_rows + 1
-        and splits_b.shape[0] >= num_rows + 1
-        and ga.dtype == gb.dtype
-    ):
-        from graph_hypernetwork_forge_tpu.ops.pallas.segment_sum import (
-            dual_sorted_segment_sum_pallas,
-        )
-
-        da, db = dual_sorted_segment_sum_pallas(
-            ga, gb, num_rows,
-            splits_a[: num_rows + 1], splits_b[: num_rows + 1],
-        )
-        dtable = da + db
-    else:
-        dtable = sorted_segment_sum(
-            ga, sorted_a, num_rows, splits_a
-        ) + sorted_segment_sum(gb, sorted_b, num_rows, splits_b)
+    # Two single-stream reduces (d=64 routes to the pad-free packed64
+    # kernel). The one-pass dual-interval kernel was measured NO faster
+    # (d64: 4.04 vs 4.01 ms; d128: 3.74 vs 3.12 ms at [1M] rows,
+    # benchmarks/results/segsum_dual_r5.json) — its lane-masked folds do
+    # 2x the MXU work and at chunk=1024 the kernels are bandwidth-, not
+    # per-chunk-, bound, so fusing passes buys nothing.
+    dtable = sorted_segment_sum(
+        ga, sorted_a, num_rows, splits_a
+    ) + sorted_segment_sum(gb, sorted_b, num_rows, splits_b)
     dtable = dtable.astype(proto.dtype)
     maybe_f0 = lambda a: None if a is None else _float0_like(a)
     return (dtable, _float0_like(idx_a), _float0_like(idx_b),

@@ -102,6 +102,19 @@ class ComposedInputs:
     agg_dst_sorted: Optional[np.ndarray] = None  # [k*cap] local dst, sorted
     agg_dst_splits: Optional[np.ndarray] = None  # [k, npp+1] CSR bounds
     agg_in_degree: Optional[np.ndarray] = None   # [k, npp] masked degrees
+    # Per-shard FULL SortPlan extension (``group_pad > 0``): the arrays
+    # that, with the agg plan above, reconstruct a single-device
+    # :class:`~graph_hypernetwork_forge_tpu.data.encoding.SortPlan` inside
+    # each shard — letting the composed step run the SAME Pallas kernel
+    # backends (``contrib="pallas"/"pallas_packed"``) as the single-chip
+    # path. ``src`` domains are the per-shard [local ++ halo] row tables.
+    kernel_src_perm: Optional[np.ndarray] = None     # [k*cap]
+    kernel_inv_src_perm: Optional[np.ndarray] = None # [k*cap]
+    kernel_src_sorted: Optional[np.ndarray] = None   # [k*cap]
+    kernel_src_splits: Optional[np.ndarray] = None   # [k, rows+1]
+    kernel_dst_splits: Optional[np.ndarray] = None   # [k, rows+1] (ext)
+    kernel_rel_splits: Optional[np.ndarray] = None   # [k, U_pad+1]
+    kernel_rel_counts: Optional[np.ndarray] = None   # [k, U_pad]
 
     @property
     def agg_plan(self):
@@ -113,10 +126,22 @@ class ComposedInputs:
             self.agg_dst_splits, self.agg_in_degree,
         )
 
+    @property
+    def kernel_plan(self):
+        """The 7-tuple the step's ``kernel_plan=`` kwarg expects (or None)."""
+        if self.kernel_src_perm is None:
+            return None
+        return (
+            self.kernel_src_perm, self.kernel_inv_src_perm,
+            self.kernel_src_sorted, self.kernel_src_splits,
+            self.kernel_dst_splits, self.kernel_rel_splits,
+            self.kernel_rel_counts,
+        )
+
 
 def prepare_composed_inputs(
     graph: EncodedGraph, node_features, num_shards: int, *, halo: bool = True,
-    rel_sort_local: bool = False, scheduled: bool = False,
+    rel_sort_local: bool = False, scheduled: bool = False, group_pad: int = 0,
 ) -> ComposedInputs:
     """Partition a graph + features for :func:`make_composed_train_step`.
 
@@ -211,36 +236,164 @@ def prepare_composed_inputs(
             rel_group_sizes[j] = np.bincount(rel[sl], minlength=u_pad)
         src_halo = sh
 
-    # Per-shard sort-free aggregation plan over the FINAL edge layout
-    # (must follow any rel_sort_local reorder).
-    cap = src.shape[0] // num_shards
-    agg_perm = np.empty(num_shards * cap, dtype=np.int32)
-    agg_inv = np.empty(num_shards * cap, dtype=np.int32)
-    agg_sorted = np.empty(num_shards * cap, dtype=np.int32)
-    agg_splits = np.empty((num_shards, npp + 1), dtype=np.int32)
-    agg_indeg = np.empty((num_shards, npp), dtype=np.float32)
-    node_bounds = np.arange(npp + 1, dtype=np.int32)
-    for j in range(num_shards):
-        sl = slice(j * cap, (j + 1) * cap)
-        ldst = (np.asarray(dst[sl]) - j * npp).astype(np.int64)
-        order = np.argsort(ldst, kind="stable").astype(np.int32)
-        agg_perm[sl] = order
-        inv = np.empty(cap, dtype=np.int32)
-        inv[order] = np.arange(cap, dtype=np.int32)
-        agg_inv[sl] = inv
-        ds = ldst[order].astype(np.int32)
-        agg_sorted[sl] = ds
-        agg_splits[j] = np.searchsorted(ds, node_bounds, side="left")
-        # Masked pad rows on high shards can carry an out-of-range dst
-        # (partition pads point at min(owner_first, n-1)); their mask
-        # weight is 0, so clipping only keeps bincount's index domain
-        # valid. In the sorted reduction they fall outside every node
-        # interval and are dropped, matching unsorted segment_sum.
-        agg_indeg[j] = np.bincount(
-            np.clip(ldst, 0, npp - 1),
-            weights=np.asarray(mask[sl], dtype=np.float64),
-            minlength=npp,
-        )[:npp].astype(np.float32)
+    kernel_stacks = None
+    if group_pad:
+        # Group-padded per-shard re-layout + FULL per-shard SortPlans: the
+        # layout contract of the single-chip Pallas kernel backends
+        # (single-relation GROUP_PAD tiles, host-precomputed CSR splits),
+        # rebuilt inside every shard so the composed step can call the
+        # same ``relational_message_passing`` backends per shard.
+        if not rel_sort_local:
+            raise ValueError("group_pad requires rel_sort_local=True")
+        from graph_hypernetwork_forge_tpu.data.encoding import build_sort_plan
+
+        cap = src.shape[0] // num_shards
+        counts = rel_group_sizes.astype(np.int64)  # [k, u_pad]
+        padded_counts = (
+            -(-counts // group_pad) * group_pad * (counts > 0)
+        )
+        cap2 = int(
+            -(-padded_counts.sum(axis=1).max() // group_pad) * group_pad
+        )
+        has_halo_idx = src_halo is not None
+
+        def fresh(ref, fill=0):
+            out = np.full(num_shards * cap2, fill, dtype=np.asarray(ref).dtype)
+            return out
+
+        src2 = fresh(src)
+        dst2 = fresh(dst)
+        rel2 = fresh(rel)
+        mask2 = np.zeros(num_shards * cap2, dtype=np.asarray(mask).dtype)
+        srch2 = fresh(src_halo) if has_halo_idx else None
+        for j in range(num_shards):
+            base_in = j * cap
+            base_out = j * cap2
+            in_off = np.zeros(u_pad + 1, dtype=np.int64)
+            np.cumsum(counts[j], out=in_off[1:])
+            pos = 0
+            last_rel = 0
+            for r in range(u_pad):
+                c = int(counts[j, r])
+                if c == 0:
+                    continue
+                s_in = base_in + in_off[r]
+                s_out = base_out + pos
+                src2[s_out : s_out + c] = src[s_in : s_in + c]
+                dst2[s_out : s_out + c] = dst[s_in : s_in + c]
+                rel2[s_out : s_out + c] = rel[s_in : s_in + c]
+                mask2[s_out : s_out + c] = mask[s_in : s_in + c]
+                if has_halo_idx:
+                    srch2[s_out : s_out + c] = src_halo[s_in : s_in + c]
+                pad = int(padded_counts[j, r]) - c
+                if pad:
+                    # Pad rows: the GROUP's relation id (single-relation
+                    # tiles), safe local indices, mask 0.
+                    pe = s_out + c
+                    rel2[pe : pe + pad] = r
+                    src2[pe : pe + pad] = j * npp
+                    dst2[pe : pe + pad] = j * npp
+                pos += int(padded_counts[j, r])
+                last_rel = r
+            # Trailing rows extend the shard's last relation group (stays
+            # non-decreasing, tiles stay single-relation: pos and cap2 are
+            # both group_pad multiples).
+            if pos < cap2:
+                sl_t = slice(base_out + pos, base_out + cap2)
+                rel2[sl_t] = last_rel
+                src2[sl_t] = j * npp
+                dst2[sl_t] = j * npp
+        src, dst, rel, mask = src2, dst2, rel2, mask2
+        src_halo = srch2
+        rel_group_sizes = padded_counts.astype(np.int32)
+        cap = cap2
+
+        # Row-table size each shard's gathers index into (the [local ++
+        # halo] concat in halo modes; the full gathered table otherwise).
+        if halo and scheduled:
+            table_rows = npp + halo_width      # halo_width = total rows
+        elif halo:
+            table_rows = npp + num_shards * halo_width  # per-pair B rows
+        else:
+            table_rows = npp * num_shards
+        src_dom = src_halo if halo else src
+
+        agg_perm = np.empty(num_shards * cap, dtype=np.int32)
+        agg_inv = np.empty(num_shards * cap, dtype=np.int32)
+        agg_sorted = np.empty(num_shards * cap, dtype=np.int32)
+        agg_splits = np.empty((num_shards, npp + 1), dtype=np.int32)
+        agg_indeg = np.empty((num_shards, npp), dtype=np.float32)
+        k_sp = np.empty(num_shards * cap, dtype=np.int32)
+        k_isp = np.empty(num_shards * cap, dtype=np.int32)
+        k_ss = np.empty(num_shards * cap, dtype=np.int32)
+        k_ssplit = np.empty((num_shards, table_rows + 1), dtype=np.int32)
+        k_dsplit = np.empty((num_shards, table_rows + 1), dtype=np.int32)
+        k_rsplit = np.empty((num_shards, u_pad + 1), dtype=np.int32)
+        k_rcount = np.empty((num_shards, u_pad), dtype=np.int32)
+        for j in range(num_shards):
+            sl = slice(j * cap, (j + 1) * cap)
+            ldst = (np.asarray(dst[sl]) - j * npp).astype(np.int32)
+            pj = build_sort_plan(
+                np.asarray(src_dom[sl]).astype(np.int32), ldst,
+                np.asarray(rel[sl]).astype(np.int32),
+                np.asarray(mask[sl]), table_rows, u_pad,
+            )
+            agg_perm[sl] = pj.dst_perm
+            agg_inv[sl] = pj.inv_dst_perm
+            agg_sorted[sl] = pj.dst_sorted
+            agg_splits[j] = pj.dst_splits[: npp + 1]
+            agg_indeg[j] = pj.in_degree[:npp]
+            k_sp[sl] = pj.src_perm
+            k_isp[sl] = pj.inv_src_perm
+            k_ss[sl] = pj.src_sorted
+            k_ssplit[j] = pj.src_splits
+            k_dsplit[j] = pj.dst_splits
+            k_rsplit[j] = pj.rel_splits
+            # pj.rel_counts covers the FINAL layout (trailing pad rows
+            # count into the shard's last relation) so ragged group sizes
+            # sum to cap exactly.
+            k_rcount[j] = pj.rel_counts
+        kernel_stacks = dict(
+            kernel_src_perm=k_sp, kernel_inv_src_perm=k_isp,
+            kernel_src_sorted=k_ss, kernel_src_splits=k_ssplit,
+            kernel_dst_splits=k_dsplit, kernel_rel_splits=k_rsplit,
+            kernel_rel_counts=k_rcount,
+        )
+        # Keep the ragged group sizes consistent with the FINAL layout so
+        # contrib="grouped" runs on group-padded inputs too (trailing pad
+        # rows count into the last relation; they are masked).
+        rel_group_sizes = k_rcount
+    else:
+        # Per-shard sort-free aggregation plan over the FINAL edge layout
+        # (must follow any rel_sort_local reorder).
+        cap = src.shape[0] // num_shards
+        agg_perm = np.empty(num_shards * cap, dtype=np.int32)
+        agg_inv = np.empty(num_shards * cap, dtype=np.int32)
+        agg_sorted = np.empty(num_shards * cap, dtype=np.int32)
+        agg_splits = np.empty((num_shards, npp + 1), dtype=np.int32)
+        agg_indeg = np.empty((num_shards, npp), dtype=np.float32)
+        node_bounds = np.arange(npp + 1, dtype=np.int32)
+        for j in range(num_shards):
+            sl = slice(j * cap, (j + 1) * cap)
+            ldst = (np.asarray(dst[sl]) - j * npp).astype(np.int64)
+            order = np.argsort(ldst, kind="stable").astype(np.int32)
+            agg_perm[sl] = order
+            inv = np.empty(cap, dtype=np.int32)
+            inv[order] = np.arange(cap, dtype=np.int32)
+            agg_inv[sl] = inv
+            ds = ldst[order].astype(np.int32)
+            agg_sorted[sl] = ds
+            agg_splits[j] = np.searchsorted(ds, node_bounds, side="left")
+            # Masked pad rows on high shards can carry an out-of-range dst
+            # (partition pads point at min(owner_first, n-1)); their mask
+            # weight is 0, so clipping only keeps bincount's index domain
+            # valid. In the sorted reduction they fall outside every node
+            # interval and are dropped, matching unsorted segment_sum.
+            agg_indeg[j] = np.bincount(
+                np.clip(ldst, 0, npp - 1),
+                weights=np.asarray(mask[sl], dtype=np.float64),
+                minlength=npp,
+            )[:npp].astype(np.float32)
 
     return ComposedInputs(
         feats=feats,
@@ -263,6 +416,7 @@ def prepare_composed_inputs(
         agg_dst_sorted=agg_sorted,
         agg_dst_splits=agg_splits,
         agg_in_degree=agg_indeg,
+        **(kernel_stacks or {}),
     )
 
 
@@ -356,11 +510,18 @@ def make_composed_train_step(
             "neg_mode='local_roll' requires halo mode (halo_width set): "
             "local scoring reuses the halo plan's boundary exchange"
         )
-    if contrib not in ("dense", "grouped"):
+    if contrib not in ("dense", "grouped", "pallas", "pallas_packed"):
         raise ValueError(f"unknown contrib backend: {contrib!r}")
+    if contrib in ("pallas", "pallas_packed") and not agg_sorted:
+        raise ValueError(
+            f"contrib={contrib!r} needs agg_sorted=True (the kernel "
+            "backends run on the per-shard SortPlan discipline; "
+            "prepare_composed_inputs(rel_sort_local=True, group_pad=256))"
+        )
 
     def forward_local(params, feats_l, src_l, dst_l, rel_l, mask_l,
-                      chars_l, lens_l, send_l, gs_l, agg_l, drop_rng):
+                      chars_l, lens_l, send_l, gs_l, agg_l, kern_l,
+                      drop_rng):
         """Per-device forward over the local node/edge/relation shards.
 
         Runs INSIDE shard_map: ``feats_l [npp, F]``, edge arrays are the
@@ -433,6 +594,49 @@ def make_composed_train_step(
                 rows = jax.lax.all_gather(h_local, axis, tiled=True)
                 src_rows = src_l
             self_rows = local_dst if use_halo else dst_l
+            if contrib in ("pallas", "pallas_packed"):
+                # Reconstruct the single-device SortPlan inside the shard
+                # and run the SAME kernel backends as the single-chip path
+                # (streaming combined edge transform / pair-packed d=64,
+                # pad-free CSR reductions) — the shard's gathers index the
+                # [local ++ halo] row table, aggregation outputs npp rows.
+                from graph_hypernetwork_forge_tpu.data.encoding import (
+                    SortPlan,
+                )
+                from graph_hypernetwork_forge_tpu.ops.message_passing import (
+                    relational_message_passing,
+                )
+
+                perm_l, inv_l, dsort_l, _, indeg_l = agg_l
+                (ksp_l, kisp_l, kss_l, kssp_l, kdsp_l, krsp_l,
+                 krc_l) = kern_l
+                plan_local = SortPlan(
+                    dst_perm=perm_l, inv_dst_perm=inv_l, dst_sorted=dsort_l,
+                    src_perm=ksp_l, inv_src_perm=kisp_l, src_sorted=kss_l,
+                    in_degree=indeg_l[0], rel_counts=krc_l[0],
+                    dst_splits=kdsp_l[0], src_splits=kssp_l[0],
+                    rel_splits=krsp_l[0],
+                )
+                h_new = relational_message_passing(
+                    rows, src_rows, local_dst, rel_l,
+                    w["W_msg"], w["W_self"], w["bias"],
+                    num_nodes=nodes_per_shard, edge_mask=mask_l,
+                    backend=contrib, precision=config.precision,
+                    rel_sorted=True, group_padded=True,
+                    sort_plan=plan_local,
+                )
+                h_new = jax.nn.relu(h_new + h_local)
+                if use_dropout:
+                    keep = jax.random.bernoulli(
+                        drop_key, 1.0 - config.dropout, h_new.shape
+                    )
+                    h_new = jnp.where(
+                        keep, h_new / (1.0 - config.dropout), 0.0
+                    )
+                h_local = layer_norm_apply(
+                    params["layer_norms"][layer_idx], h_new
+                )
+                continue
             if contrib == "grouped":
                 # Relation-grouped ragged matmul over this shard's
                 # rel-sorted edge slice: O((E/k)·d²) per-device FLOPs.
@@ -518,6 +722,9 @@ def make_composed_train_step(
             P(axis, None),  # per-shard ragged group sizes (grouped contrib)
             (P(axis), P(axis), P(axis), P(axis, None), P(axis, None)),
             #               ^ per-shard sort-free aggregation plan
+            (P(axis), P(axis), P(axis), P(axis, None), P(axis, None),
+             P(axis, None), P(axis, None)),
+            #               ^ per-shard kernel SortPlan extension
             P(axis),        # neg_dst: edge-sharded
             P(),            # dropout rng (replicated; folded per device)
         ),
@@ -526,10 +733,10 @@ def make_composed_train_step(
     )
     def _loss_shard_global(params, feats_l, src_l, dst_l, rel_l, mask_l,
                            chars_l, lens_l, src_layers_l, send_l, gs_l,
-                           agg_l, neg_l, drop_rng):
+                           agg_l, kern_l, neg_l, drop_rng):
         h_local = forward_local(
             params, feats_l, src_layers_l, dst_l, rel_l, mask_l, chars_l,
-            lens_l, send_l, gs_l, agg_l, drop_rng,
+            lens_l, send_l, gs_l, agg_l, kern_l, drop_rng,
         )
         # Scoring needs arbitrary rows: assemble the full embeddings once.
         embs = jax.lax.all_gather(h_local, axis, tiled=True)
@@ -554,6 +761,9 @@ def make_composed_train_step(
             P(axis, None),  # per-shard ragged group sizes (grouped contrib)
             (P(axis), P(axis), P(axis), P(axis, None), P(axis, None)),
             #               ^ per-shard sort-free aggregation plan
+            (P(axis), P(axis), P(axis), P(axis, None), P(axis, None),
+             P(axis, None), P(axis, None)),
+            #               ^ per-shard kernel SortPlan extension
             P(),            # negative rng (replicated; folded per device)
             P(),            # dropout rng (replicated; folded per device)
         ),
@@ -561,11 +771,11 @@ def make_composed_train_step(
         check_vma=False,
     )
     def _loss_shard_local(params, feats_l, srch_l, dst_l, rel_l, mask_l,
-                          chars_l, lens_l, send_l, gs_l, agg_l, neg_rng,
-                          drop_rng):
+                          chars_l, lens_l, send_l, gs_l, agg_l, kern_l,
+                          neg_rng, drop_rng):
         h_local = forward_local(
             params, feats_l, srch_l, dst_l, rel_l, mask_l, chars_l,
-            lens_l, send_l, gs_l, agg_l, drop_rng,
+            lens_l, send_l, gs_l, agg_l, kern_l, drop_rng,
         )
         my_idx = jax.lax.axis_index(axis)
         # One more boundary exchange so positive HEADS (arbitrary src rows
@@ -614,7 +824,7 @@ def make_composed_train_step(
     @jax.jit
     def step(params, opt_state, feats, src, dst, rel, mask, chars, lens,
              rng, src_halo=None, send_idx=None, rel_group_sizes=None,
-             agg_plan=None):
+             agg_plan=None, kernel_plan=None):
         neg_rng, drop_rng = jax.random.split(rng)
         if config.dropout <= 0.0:
             drop_rng = None
@@ -652,12 +862,25 @@ def make_composed_train_step(
                 z, z, z, jnp.zeros((k, 1), jnp.int32),
                 jnp.zeros((k, 1), jnp.float32),
             )
+        if contrib in ("pallas", "pallas_packed"):
+            if kernel_plan is None:
+                raise ValueError(
+                    f"contrib={contrib!r}: step needs kernel_plan "
+                    "(prepare_composed_inputs(rel_sort_local=True, "
+                    "group_pad=256).kernel_plan)"
+                )
+        elif kernel_plan is None:
+            k = mesh.shape[axis]
+            z = jnp.zeros((k,), dtype=jnp.int32)  # inert
+            z2 = jnp.zeros((k, 1), jnp.int32)
+            kernel_plan = (z, z, z, z2, z2, z2, z2)
 
         if neg_mode == "local_roll":
             def loss_fn(p):
                 return _loss_shard_local(
                     p, feats, src_halo, dst, rel, mask, chars, lens,
-                    send_idx, rel_group_sizes, agg_plan, neg_rng, drop_rng
+                    send_idx, rel_group_sizes, agg_plan, kernel_plan,
+                    neg_rng, drop_rng
                 )
         else:
             neg_dst = jax.random.randint(
@@ -669,7 +892,8 @@ def make_composed_train_step(
             def loss_fn(p):
                 return _loss_shard_global(
                     p, feats, src, dst, rel, mask, chars, lens, src_layers,
-                    send_idx, rel_group_sizes, agg_plan, neg_dst, drop_rng
+                    send_idx, rel_group_sizes, agg_plan, kernel_plan,
+                    neg_dst, drop_rng
                 )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -90,6 +90,102 @@ def multi_negative_loss(
     return jnp.sum(per_pair * edge_mask) / jnp.maximum(jnp.sum(edge_mask), 1.0)
 
 
+import functools as _functools
+
+import jax.numpy as _jnp
+import numpy as _np
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _lpl_sorted_fused(num_nodes, margin, embs, src, dst, src_perm,
+                      src_sorted, src_splits, dst_perm, dst_sorted,
+                      dst_splits, roll_shift, edge_mask):
+    """Rolled-negative margin loss with an ANALYTIC backward.
+
+    Autodiff of the gather/roll/hinge composition assembles the two
+    ``[E, d]`` cotangent streams through several elementwise + permute
+    passes over saved ``[E, d]`` residuals (measured 33 ms backward at
+    xl, ``xl_breakdown_r4.json``). The hand-written VJP saves only
+    ``[E]`` scalars and forms each stream in ONE fused pass of direct
+    table gathers (the ``[N, d]`` table is ~1/20 the size of an ``[E, d]``
+    residual), then reduces both through the CSR dispatcher (pad-free
+    packed64 kernel at d=64):
+
+        a_e       = g · mask_e · 1[hinge_e > 0] / Σ mask          ([E])
+        dembs     = Σ_src-sorted a·(T[dst∘shift] − T[dst])
+                  + Σ_dst-sorted a∘shift⁻¹·H[src∘shift⁻¹] − a·H[src]
+
+    ``edge_mask`` receives a ZERO cotangent (graph structure, not
+    differentiated). Forward numerics are identical to the reference
+    composition; the backward differs only by reduction order.
+    """
+    pos_h = jnp.take(embs, src, axis=0)
+    pos_t = jnp.take(embs, dst, axis=0)
+    neg_t = jnp.roll(pos_t, -roll_shift, axis=0)
+    pos = jnp.sum(pos_h * pos_t, axis=-1)
+    neg = jnp.sum(pos_h * neg_t, axis=-1)
+    per_edge = jnp.maximum(margin - pos + neg, 0.0)
+    return jnp.sum(per_edge * edge_mask) / jnp.maximum(
+        jnp.sum(edge_mask), 1.0
+    )
+
+
+def _lpl_fused_fwd(num_nodes, margin, embs, src, dst, src_perm, src_sorted,
+                   src_splits, dst_perm, dst_sorted, dst_splits, roll_shift,
+                   edge_mask):
+    pos_h = jnp.take(embs, src, axis=0)
+    pos_t = jnp.take(embs, dst, axis=0)
+    neg_t = jnp.roll(pos_t, -roll_shift, axis=0)
+    pos = jnp.sum(pos_h * pos_t, axis=-1)
+    neg = jnp.sum(pos_h * neg_t, axis=-1)
+    hinge = margin - pos + neg
+    denom = jnp.maximum(jnp.sum(edge_mask), 1.0)
+    loss = jnp.sum(jnp.maximum(hinge, 0.0) * edge_mask) / denom
+    res = (embs, src, dst, src_perm, src_sorted, src_splits, dst_perm,
+           dst_sorted, dst_splits, roll_shift, edge_mask,
+           (hinge > 0.0), denom)
+    return loss, res
+
+
+def _lpl_fused_bwd(num_nodes, margin, res, g):
+    from graph_hypernetwork_forge_tpu.ops.segment import sorted_segment_sum
+
+    (embs, src, dst, src_perm, src_sorted, src_splits, dst_perm, dst_sorted,
+     dst_splits, roll_shift, edge_mask, active, denom) = res
+    e = src.shape[0]
+    a = (g / denom) * edge_mask * active.astype(edge_mask.dtype)  # [E]
+
+    # Stream 1 (src-sorted): dh_e = a_e · (t_{e+k} − t_e), one fused pass.
+    sp = src_perm if src_perm is not None else jnp.arange(e, dtype=src.dtype)
+    d1 = jnp.take(dst, sp, axis=0)
+    d2 = jnp.take(dst, (sp + roll_shift) % e, axis=0)
+    stream_src = jnp.take(a, sp, axis=0)[:, None] * (
+        jnp.take(embs, d2, axis=0) - jnp.take(embs, d1, axis=0)
+    )
+    # Stream 2 (dst-sorted): dt_e = a_{e−k}·h_{e−k} − a_e·h_e.
+    dp = dst_perm if dst_perm is not None else jnp.arange(e, dtype=dst.dtype)
+    ep = (dp - roll_shift) % e
+    s1 = jnp.take(src, dp, axis=0)
+    s2 = jnp.take(src, ep, axis=0)
+    stream_dst = (
+        jnp.take(a, ep, axis=0)[:, None] * jnp.take(embs, s2, axis=0)
+        - jnp.take(a, dp, axis=0)[:, None] * jnp.take(embs, s1, axis=0)
+    )
+    dembs = sorted_segment_sum(
+        stream_src, src_sorted, num_nodes, src_splits
+    ) + sorted_segment_sum(stream_dst, dst_sorted, num_nodes, dst_splits)
+    dembs = dembs.astype(embs.dtype)
+
+    f0 = lambda arr: _np.zeros(arr.shape, dtype=jax.dtypes.float0)
+    maybe = lambda arr: None if arr is None else f0(arr)
+    return (dembs, f0(src), f0(dst), maybe(src_perm), f0(src_sorted),
+            maybe(src_splits), maybe(dst_perm), f0(dst_sorted),
+            maybe(dst_splits), f0(roll_shift), _jnp.zeros_like(edge_mask))
+
+
+_lpl_sorted_fused.defvjp(_lpl_fused_fwd, _lpl_fused_bwd)
+
+
 def link_prediction_loss_sorted(
     embs: jax.Array,
     src: jax.Array,
@@ -121,20 +217,17 @@ def link_prediction_loss_sorted(
     enter the mean, matching the masked-mean semantics of
     :func:`margin_ranking_loss`.
     """
-    from graph_hypernetwork_forge_tpu.ops.segment import take_rows_pair
-
     n = embs.shape[0]
-    # Fused gather pair: the (src-sorted, dst-sorted) cotangent reductions
-    # of BOTH gathers run in one dual-interval CSR kernel pass (and at
-    # d=64 skip the [E, 128] pad copies) — the loss stage was measured at
-    # 42.6 ms/step at xl with two separate reduce passes
-    # (benchmarks/results/xl_breakdown_r4.json).
-    pos_h, pos_t = take_rows_pair(
-        n, embs, src, dst,
+    mask = (
+        jnp.ones(src.shape, embs.dtype) if edge_mask is None else edge_mask
+    )
+    # Analytic fused VJP: saves only [E] scalars, forms each sorted
+    # cotangent stream in one fused table-gather pass, reduces through the
+    # CSR dispatcher (pad-free packed64 kernel at d=64). The autodiff
+    # composition measured 41.8 ms/step at xl (xl_breakdown r4/r5).
+    return _lpl_sorted_fused(
+        n, margin, embs, src, dst,
         sort_plan.src_perm, sort_plan.src_sorted, sort_plan.src_splits,
         sort_plan.dst_perm, sort_plan.dst_sorted, sort_plan.dst_splits,
+        roll_shift, mask,
     )
-    neg_t = jnp.roll(pos_t, -roll_shift, axis=0)
-    pos = jnp.sum(pos_h * pos_t, axis=-1)
-    neg = jnp.sum(pos_h * neg_t, axis=-1)
-    return margin_ranking_loss(pos, neg, margin=margin, edge_mask=edge_mask)

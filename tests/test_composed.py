@@ -620,3 +620,97 @@ def test_composed_scheduled_grouped_agg_sorted_matches_dense_pairs():
         jax.tree_util.tree_leaves(p_b), jax.tree_util.tree_leaves(p_p)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def _run_kernel_contrib_case(hidden, contrib, k=4, scheduled=False):
+    """Shared driver: group-padded prepare + kernel contrib vs the grouped
+    oracle on the SAME inputs (identical layout → identical negatives)."""
+    graph, feats, config, params = _setup(
+        seed=21, n=40, e=400, u=5, f=8, hidden=hidden
+    )
+    mesh = make_mesh((k,), ("edge",), devices=jax.devices()[:k])
+    inputs = prepare_composed_inputs(
+        graph, feats, k, halo=True, rel_sort_local=True, group_pad=256,
+        scheduled=scheduled,
+    )
+    assert inputs.kernel_plan is not None
+    cap = inputs.src.shape[0] // k
+    assert cap % 256 == 0
+    for j in range(k):
+        sl = slice(j * cap, (j + 1) * cap)
+        rel = inputs.rel_ids[sl]
+        assert (np.diff(rel) >= 0).all()
+        # Single-relation 256-row tiles (the Pallas layout contract).
+        assert (rel.reshape(-1, 256) == rel.reshape(-1, 256)[:, :1]).all()
+        assert inputs.kernel_rel_counts[j].sum() == cap
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    common = dict(
+        num_nodes=inputs.num_nodes, halo_width=inputs.halo_width,
+        agg_sorted=True,
+    )
+    if scheduled:
+        common["scheduled_rounds"] = inputs.sched_round_perms
+    arrays = tuple(
+        jnp.asarray(a) for a in (
+            inputs.feats, inputs.src, inputs.dst, inputs.rel_ids,
+            inputs.edge_mask, inputs.char_ids, inputs.lengths,
+        )
+    )
+    send = (
+        tuple(jnp.asarray(t) for t in inputs.sched_send_tables)
+        if scheduled else jnp.asarray(inputs.send_idx)
+    )
+    kw = dict(
+        src_halo=jnp.asarray(inputs.src_halo),
+        send_idx=send,
+        rel_group_sizes=jnp.asarray(inputs.rel_group_sizes),
+        agg_plan=tuple(jnp.asarray(a) for a in inputs.agg_plan),
+    )
+    rng = jax.random.PRNGKey(7)
+
+    step_kernel = make_composed_train_step(
+        mesh, config, optimizer, inputs.nodes_per_shard,
+        contrib=contrib, **common,
+    )
+    p_kernel, _, loss_kernel = step_kernel(
+        params, opt_state, *arrays, rng,
+        kernel_plan=tuple(jnp.asarray(a) for a in inputs.kernel_plan),
+        **kw,
+    )
+    step_ref = make_composed_train_step(
+        mesh, config, optimizer, inputs.nodes_per_shard,
+        contrib="grouped", **common,
+    )
+    p_ref, _, loss_ref = step_ref(params, opt_state, *arrays, rng, **kw)
+    np.testing.assert_allclose(
+        float(loss_kernel), float(loss_ref), atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_kernel),
+        jax.tree_util.tree_leaves(p_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        )
+
+
+def test_composed_pallas_packed_contrib_matches_grouped():
+    """contrib='pallas_packed' (pair-packed d=64 streaming kernel + CSR
+    reductions, reconstructed per shard from the kernel SortPlan stacks)
+    == the grouped oracle on identical group-padded inputs."""
+    _run_kernel_contrib_case(64, "pallas_packed")
+
+
+@pytest.mark.slow
+def test_composed_pallas_contrib_matches_grouped_d128():
+    """contrib='pallas' (combined-output streaming kernel at d=128)."""
+    _run_kernel_contrib_case(128, "pallas")
+
+
+@pytest.mark.slow
+def test_composed_pallas_packed_scheduled_halo_matches_grouped():
+    """Production pod combo: scheduled-ppermute exchange + pair-packed
+    kernel contrib + sort-free aggregation == grouped on the same
+    scheduled inputs."""
+    _run_kernel_contrib_case(64, "pallas_packed", scheduled=True)

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
 from graph_hypernetwork_forge_tpu.models.hypergnn import (
@@ -221,3 +222,96 @@ def test_zero_shot_mrr_regression_floor():
         embs, test_ei[0], test_ei[1], filter_edges=kg.edge_index
     )
     assert m["mrr"] >= 0.06, m
+
+
+class TestFusedSortedLoss:
+    """link_prediction_loss_sorted's analytic VJP vs plain autodiff."""
+
+    def _case(self, seed=0, n=60, e=500, d=16):
+        from graph_hypernetwork_forge_tpu.data.encoding import encode_graph
+
+        rng = np.random.default_rng(seed)
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        texts = [f"rel {i}" for i in range(7)]
+        etexts = [texts[i] for i in rng.integers(0, 7, e)]
+        graph = encode_graph(
+            ei, etexts, n, sort_by_relation=True, with_sort_plan=True
+        )
+        plan = jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
+        embs = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        return graph, plan, embs
+
+    @pytest.mark.parametrize("with_mask", [True, False])
+    def test_value_and_grad_match_plain_autodiff(self, with_mask):
+        from graph_hypernetwork_forge_tpu.training.objectives import (
+            link_prediction_loss_sorted,
+        )
+
+        graph, plan, embs = self._case()
+        src = jnp.asarray(graph.src)
+        dst = jnp.asarray(graph.dst)
+        mask = jnp.asarray(graph.edge_mask) if with_mask else None
+        shift = jnp.int32(137)
+
+        def fused(x):
+            return link_prediction_loss_sorted(
+                x, src, dst, plan, shift, margin=1.0, edge_mask=mask
+            )
+
+        def plain(x):
+            pos_h = x[src]
+            pos_t = x[dst]
+            neg_t = jnp.roll(pos_t, -shift, axis=0)
+            pos = jnp.sum(pos_h * pos_t, axis=-1)
+            neg = jnp.sum(pos_h * neg_t, axis=-1)
+            per_edge = jnp.maximum(1.0 - pos + neg, 0.0)
+            m = jnp.ones_like(per_edge) if mask is None else mask
+            return jnp.sum(per_edge * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        np.testing.assert_allclose(
+            float(fused(embs)), float(plain(embs)), rtol=1e-6
+        )
+        g1 = jax.grad(fused)(embs)
+        g2 = jax.grad(plain)(embs)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5
+        )
+
+    def test_grad_under_jit_and_zero_shift_wraparound(self):
+        from graph_hypernetwork_forge_tpu.training.objectives import (
+            link_prediction_loss_sorted,
+        )
+
+        graph, plan, embs = self._case(seed=3)
+        src = jnp.asarray(graph.src)
+        dst = jnp.asarray(graph.dst)
+        mask = jnp.asarray(graph.edge_mask)
+        e = int(src.shape[0])
+
+        @jax.jit
+        def gradf(x, shift):
+            return jax.grad(
+                lambda y: link_prediction_loss_sorted(
+                    y, src, dst, plan, shift, edge_mask=mask
+                )
+            )(x)
+
+        for shift in (0, 1, e - 1, e + 5):
+            g1 = gradf(embs, jnp.int32(shift))
+
+            def plain(x):
+                pos_h = x[src]
+                pos_t = x[dst]
+                neg_t = jnp.roll(pos_t, -shift, axis=0)
+                pos = jnp.sum(pos_h * pos_t, axis=-1)
+                neg = jnp.sum(pos_h * neg_t, axis=-1)
+                per_edge = jnp.maximum(1.0 - pos + neg, 0.0)
+                return jnp.sum(per_edge * mask) / jnp.maximum(
+                    jnp.sum(mask), 1.0
+                )
+
+            g2 = jax.grad(plain)(embs)
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5,
+                err_msg=f"shift={shift}",
+            )
