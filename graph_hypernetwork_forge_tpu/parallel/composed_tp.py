@@ -115,9 +115,15 @@ def make_composed_tp_train_step(
     Constraints (checked):
     - halo mode only (``halo_width`` required): this is the production
       composition; the dense-v1 boundary fallback stays 1D;
-    - ``config.dropout == 0.0``: generator-internal dropout would need a
-      coordinated mask across model-sharded activations;
     - generator hidden width and ``d_in`` divisible by ``k_m``.
+
+    Dropout (reference ``models/hypergnn.py:293-294`` and the generator
+    MLP dropout it mirrors) is fully supported and matches the 1D composed
+    step BIT-FOR-BIT: every key folds by the EDGE index only, so all
+    model ranks draw the SAME masks; for the column-sharded hidden
+    activations each rank draws the full-width 1D mask from the same key
+    and slices its own column block (coordinated dropout — the masks are
+    consistent across the Megatron shards by construction).
     """
     import optax
 
@@ -127,8 +133,6 @@ def make_composed_tp_train_step(
     if halo_width is None:
         raise ValueError("make_composed_tp_train_step requires halo mode "
                          "(halo_width from prepare_composed_inputs(halo=True))")
-    if config.dropout > 0.0:
-        raise ValueError("2D TP composed step requires dropout == 0.0")
     if gen_cfg.hidden_dim % k_m or gen_cfg.d_in % k_m:
         raise ValueError(
             f"generator hidden_dim ({gen_cfg.hidden_dim}) and d_in "
@@ -137,24 +141,51 @@ def make_composed_tp_train_step(
     if contrib not in ("dense", "grouped"):
         raise ValueError(f"unknown contrib backend: {contrib!r}")
 
-    def tp_generate_local(gen_params, text_local):
+    def tp_generate_local(gen_params, text_local, gen_rng):
         """Megatron-split head forward on this device's relation slice.
 
         Matrix heads return ``[U_loc, d_in/k_m, d_out]`` shards; the bias
         head (replicated params) returns the full ``[U_loc, d_out]``.
         Mirrors ``tensor_parallel.tp_generate_weights`` but runs inside the
         2D program so its psum composes with the edge axis.
+
+        ``gen_rng`` (already edge-folded, identical across model ranks)
+        drives generator dropout with the SAME key-split schedule as
+        ``apply_weight_generator``: the hidden-layer-0 activations are
+        column-sharded, so each rank draws the full ``[U_loc, hidden]``
+        mask and slices its column block — bitwise the 1D mask.
         """
+        use_gdrop = gen_rng is not None and gen_cfg.dropout > 0.0
+        keep_p = 1.0 - gen_cfg.dropout
+        h_k = gen_cfg.hidden_dim // k_m
+        me_m = jax.lax.axis_index(model_axis)
+        rng = gen_rng
         out = {}
         for name, shape in gen_cfg.weight_specs:
             l1, l2, l3 = gen_params["heads"][name]
             x = jax.nn.relu(
                 jnp.dot(text_local, l1["w"], precision=prec) + l1["b"]
             )
+            if use_gdrop:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(
+                    sub, keep_p, (text_local.shape[0], gen_cfg.hidden_dim)
+                )
+                if name != "bias":
+                    # Column-parallel layer: slice this rank's block of
+                    # the full-width (1D-identical) mask.
+                    keep = jax.lax.dynamic_slice_in_dim(
+                        keep, me_m * h_k, h_k, 1
+                    )
+                x = jnp.where(keep, x / keep_p, 0.0)
             x = jnp.dot(x, l2["w"], precision=prec)
             if name != "bias":
                 x = jax.lax.psum(x, model_axis)  # row-parallel reduction
             x = jax.nn.relu(x + l2["b"])
+            if use_gdrop:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, keep_p, x.shape)
+                x = jnp.where(keep, x / keep_p, 0.0)
             flat = jnp.dot(x, l3["w"], precision=prec) + l3["b"]
             scale = jnp.exp(gen_params["log_scales"][name])
             if name == "bias":
@@ -168,11 +199,13 @@ def make_composed_tp_train_step(
         return out
 
     def forward_local(params, feats_l, srch_l, dst_l, rel_l, mask_l,
-                      chars_l, lens_l, send_l, gs_l, agg_l):
+                      chars_l, lens_l, send_l, gs_l, agg_l, drop_rng):
+        use_dropout = drop_rng is not None and config.dropout > 0.0
         me_e = jax.lax.axis_index(edge_axis)
         me_m = jax.lax.axis_index(model_axis)
         k_e = send_l.shape[1]
         din_sh = gen_cfg.d_in // k_m
+        rng_layer = drop_rng
 
         h_local = jax.nn.relu(
             linear_apply(params["input_proj"], feats_l, precision=prec)
@@ -183,8 +216,18 @@ def make_composed_tp_train_step(
         local_dst = dst_l - me_e * nodes_per_shard
 
         for layer_idx in range(config.num_layers):
+            gen_rng = drop_key = None
+            if use_dropout:
+                # IDENTICAL key schedule to composed.py's 1D step, folded
+                # by the EDGE index only: the [npp, d] epilogue rows are
+                # replicated over the model axis, so every model rank
+                # draws the SAME mask (coordinated dropout) and the whole
+                # 2D step matches the 1D step bit-for-bit.
+                rng_layer, gen_rng, drop_key = jax.random.split(rng_layer, 3)
+                gen_rng = jax.random.fold_in(gen_rng, me_e)
+                drop_key = jax.random.fold_in(drop_key, me_e)
             local_w = tp_generate_local(
-                params["weight_generators"][layer_idx], text_local
+                params["weight_generators"][layer_idx], text_local, gen_rng
             )
             # Bank assembly over the EDGE axis only: [U, d_in/k_m, d_out]
             # shards — per-device bank bytes and wire traffic ÷ k_m.
@@ -249,6 +292,11 @@ def make_composed_tp_train_step(
                 )
                 cnt = jnp.maximum(cnt, 1.0)[:, None]
             h_new = jax.nn.relu(total / cnt + h_local)
+            if use_dropout:
+                keep = jax.random.bernoulli(
+                    drop_key, 1.0 - config.dropout, h_new.shape
+                )
+                h_new = jnp.where(keep, h_new / (1.0 - config.dropout), 0.0)
             h_local = layer_norm_apply(params["layer_norms"][layer_idx], h_new)
         return h_local
 
@@ -267,15 +315,16 @@ def make_composed_tp_train_step(
             (P(edge_axis), P(edge_axis), P(edge_axis),
              P(edge_axis, None), P(edge_axis, None)),  # agg plan
             P(),                  # negative rng
+            P(),                  # dropout rng (replicated; folded by edge)
         ),
         out_specs=P(),
         check_vma=False,
     )
     def _loss_shard(params, feats_l, srch_l, dst_l, rel_l, mask_l, chars_l,
-                    lens_l, send_l, gs_l, agg_l, neg_rng):
+                    lens_l, send_l, gs_l, agg_l, neg_rng, drop_rng):
         h_local = forward_local(
             params, feats_l, srch_l, dst_l, rel_l, mask_l, chars_l, lens_l,
-            send_l, gs_l, agg_l,
+            send_l, gs_l, agg_l, drop_rng,
         )
         me_e = jax.lax.axis_index(edge_axis)
         k_e = send_l.shape[1]
@@ -315,8 +364,10 @@ def make_composed_tp_train_step(
             raise ValueError("2D step needs src_halo and send_idx "
                              "(prepare_composed_inputs(halo=True))")
         # Same top-level split as composed.py so 1D and 2D draw identical
-        # negatives from the same step rng.
-        neg_rng, _ = jax.random.split(rng)
+        # negatives AND dropout masks from the same step rng.
+        neg_rng, drop_rng = jax.random.split(rng)
+        if config.dropout <= 0.0:
+            drop_rng = None
         k_e = mesh.shape[edge_axis]
         if contrib == "grouped":
             if rel_group_sizes is None:
@@ -336,7 +387,7 @@ def make_composed_tp_train_step(
         def loss_fn(p):
             return _loss_shard(
                 p, feats, src_halo, dst, rel, mask, chars, lens,
-                send_idx, rel_group_sizes, agg_plan, neg_rng,
+                send_idx, rel_group_sizes, agg_plan, neg_rng, drop_rng,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -166,11 +166,33 @@ def test_2d_validation():
         make_composed_tp_train_step(
             mesh, config, optax.adam(1e-3), 8, halo_width=None
         )
+    # dropout > 0 is SUPPORTED since round 5 (coordinated edge-folded
+    # masks) — building the step must not raise.
     cfg_drop = HyperGNNConfig(
         text_dim=16, node_feat_dim=8, hidden_dim=16, num_layers=2,
         dropout=0.5,
     )
-    with pytest.raises(ValueError):
-        make_composed_tp_train_step(
-            mesh, cfg_drop, optax.adam(1e-3), 8, halo_width=2
-        )
+    make_composed_tp_train_step(
+        mesh, cfg_drop, optax.adam(1e-3), 8, halo_width=2
+    )
+
+
+def test_2d_dropout_matches_1d():
+    """dropout > 0: the 2D step's coordinated (edge-folded) masks — full-
+    width draws sliced per model rank for the column-sharded generator
+    hiddens, shared draws elsewhere — reproduce the 1D composed step's
+    loss and post-Adam params exactly."""
+    graph, feats, _, _ = _setup(seed=9)
+    config = HyperGNNConfig(
+        text_dim=16, node_feat_dim=8, hidden_dim=16, num_layers=2,
+        dropout=0.35,
+    )
+    params = init_hypergnn(config, jax.random.PRNGKey(3))
+    rng = jax.random.PRNGKey(29)
+    p1, l1 = _run_1d(graph, feats, config, params, 4, rng)
+    p2, l2, _, _ = _run_2d(graph, feats, config, params, 4, 2, rng)
+    np.testing.assert_allclose(l2, l1, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
