@@ -149,3 +149,231 @@ class MinibatchTrainer:
             rng_jax,
         )
         return params, opt_state, loss
+
+
+# ---------------------------------------------------------------------------
+# Distributed minibatching: neighbor-sampled subgraphs × the composed
+# multi-device step (BASELINE config #4 — "Wikidata5M inductive:
+# neighbor-sampled minibatches, edge-partitioned across hosts").
+# ---------------------------------------------------------------------------
+
+
+def make_composed_minibatch_step(
+    mesh,
+    config: HyperGNNConfig,
+    optimizer: optax.GradientTransformation,
+    nodes_per_shard: int,
+    *,
+    axis: str = "edge",
+    margin: float = 1.0,
+):
+    """Jitted edge-sharded minibatch train step.
+
+    Subgraph nodes/edges/relations are sharded over ``axis`` exactly as in
+    ``parallel/composed.py``; the exchange is the dense all_gather variant
+    — the right call for minibatches, whose subgraphs are bucket-bounded
+    (a halo plan would change shape every batch and recompile). Positive
+    pairs are sharded over ``axis`` too; negatives are drawn REPLICATED
+    from the step rng (identical draw to the single-device
+    :class:`MinibatchTrainer`, so losses/params match it exactly).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from graph_hypernetwork_forge_tpu.models.text_encoder import (
+        apply_text_encoder,
+    )
+    from graph_hypernetwork_forge_tpu.models.weight_generator import (
+        apply_weight_generator,
+    )
+    from graph_hypernetwork_forge_tpu.utils.initializers import (
+        layer_norm_apply,
+        linear_apply,
+        resolve_precision,
+    )
+
+    prec = resolve_precision(config.precision)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),            # params (replicated)
+            P(axis, None),  # feats: node-range sharded
+            P(axis), P(axis), P(axis), P(axis),  # subgraph edges
+            P(axis, None), P(axis),              # relations sharded
+            P(axis), P(axis), P(axis), P(axis),  # pos pairs + negatives
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _loss(params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l, lens_l,
+              ps_l, pd_l, pm_l, nd_l):
+        my_idx = jax.lax.axis_index(axis)
+        h_local = jax.nn.relu(
+            linear_apply(params["input_proj"], feats_l, precision=prec)
+        )
+        text_local = apply_text_encoder(
+            params["text_encoder"], chars_l, lens_l,
+            precision=config.precision,
+        )
+        local_dst = dst_l - my_idx * nodes_per_shard
+        for layer_idx in range(config.num_layers):
+            local_w = apply_weight_generator(
+                config.weight_generator,
+                params["weight_generators"][layer_idx],
+                text_local,
+            )
+            w = {
+                kk: jax.lax.all_gather(v, axis, tiled=True)
+                for kk, v in local_w.items()
+            }
+            h_full = jax.lax.all_gather(h_local, axis, tiled=True)
+            hw = jnp.einsum(
+                "nd,udo->uno", h_full,
+                jnp.concatenate([w["W_msg"], w["W_self"]]),
+                precision=prec,
+            )
+            u = w["W_msg"].shape[0]
+            msg = (hw[rel_l, src_l] + w["bias"][rel_l]) * mask_l[:, None]
+            selfc = hw[rel_l + u, dst_l] * mask_l[:, None]
+            agg = jax.ops.segment_sum(
+                msg, local_dst, num_segments=nodes_per_shard
+            )
+            selft = jax.ops.segment_sum(
+                selfc, local_dst, num_segments=nodes_per_shard
+            )
+            cnt = jax.ops.segment_sum(
+                mask_l, local_dst, num_segments=nodes_per_shard
+            )
+            cnt = jnp.maximum(cnt, 1.0)[:, None]
+            h_local = layer_norm_apply(
+                params["layer_norms"][layer_idx],
+                jax.nn.relu(agg / cnt + selft / cnt + h_local),
+            )
+        embs = jax.lax.all_gather(h_local, axis, tiled=True)
+        pos = jnp.sum(embs[ps_l] * embs[pd_l], axis=-1)
+        neg = jnp.sum(embs[ps_l] * embs[nd_l], axis=-1)
+        per = jnp.clip(margin - pos + neg, a_min=0.0)
+        num = jax.lax.psum(jnp.sum(per * pm_l), axis)
+        den = jax.lax.psum(jnp.sum(pm_l), axis)
+        return num / jnp.maximum(den, 1.0)
+
+    @jax.jit
+    def step(params, opt_state, feats, src, dst, rel, mask, chars, lens,
+             pos_src, pos_dst, pos_mask, rng):
+        # Same replicated draw as MinibatchTrainer's step — bit-identical
+        # negatives given the same rng.
+        neg_dst = jax.random.randint(
+            rng, pos_src.shape, 0, feats.shape[0], dtype=pos_src.dtype
+        )
+
+        def loss_fn(p):
+            return _loss(
+                p, feats, src, dst, rel, mask, chars, lens,
+                pos_src, pos_dst, pos_mask, neg_dst,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_opt_state, loss
+
+    return step
+
+
+class DistributedMinibatchTrainer(MinibatchTrainer):
+    """Neighbor-sampled minibatches × the edge-sharded composed step.
+
+    The sampler emits per-shard fixed-shape buckets: each sampled subgraph
+    is dst-partitioned over the mesh axis (``partition_edges_by_dst`` via
+    ``prepare_composed_inputs(halo=False)``) and every per-shard array is
+    padded to a ladder bucket (``cap`` rounded to ``cap_multiple``) so one
+    compiled program serves all batches; an outlier batch costs one extra
+    compile, bounded by the ladder. Positives are padded to
+    ``spec.batch_size`` (must divide the mesh size) and sharded too.
+    """
+
+    def __init__(self, mesh, config, optimizer, edge_index, edge_texts,
+                 node_features, spec: Optional[MinibatchSpec] = None, *,
+                 axis: str = "edge", margin: float = 1.0,
+                 cap_multiple: int = 512) -> None:
+        self.mesh = mesh
+        self.axis = axis
+        self.num_shards = int(mesh.shape[axis])
+        self.cap_multiple = cap_multiple
+        spec = spec or MinibatchSpec()
+        if spec.batch_size % self.num_shards:
+            raise ValueError(
+                f"batch_size ({spec.batch_size}) must divide the mesh "
+                f"axis ({self.num_shards})"
+            )
+        if spec.node_bucket_multiple % self.num_shards:
+            raise ValueError(
+                "node_bucket_multiple must divide the mesh axis so the "
+                "padded node count shards evenly (and the negative-"
+                "sampling range matches the single-device trainer)"
+            )
+        super().__init__(
+            config, optimizer, edge_index, edge_texts, node_features,
+            spec, margin=margin,
+        )
+        self._dist_steps = {}  # nodes_per_shard -> compiled step
+
+    def _build_step(self):
+        return None  # replaced by the per-bucket distributed steps
+
+    def sample_batch_sharded(self, rng: np.random.Generator):
+        """One subgraph batch → per-shard fixed-bucket composed arrays."""
+        from graph_hypernetwork_forge_tpu.parallel.composed import (
+            prepare_composed_inputs,
+        )
+
+        feats, graph, pos_src, pos_dst, pos_mask = self.sample_batch(rng)
+        k = self.num_shards
+        # The subgraph encodes its REAL node count; partition over the
+        # bucket-padded count instead so feats/npp line up with the
+        # single-device trainer's node range (pad nodes are isolated —
+        # count-clamped to zero output, and the negative-sampling range
+        # matches MinibatchTrainer exactly).
+        graph = dataclasses.replace(graph, num_nodes=feats.shape[0])
+        inputs = prepare_composed_inputs(graph, feats, k, halo=False)
+        # Ladder-pad the per-shard edge cap for shape stability.
+        cap = inputs.src.shape[0] // k
+        cap_b = round_up_to_multiple(cap, self.cap_multiple)
+        npp = inputs.nodes_per_shard
+
+        def grow(arr, fill):
+            out = np.full((k, cap_b), fill, dtype=np.asarray(arr).dtype)
+            out[:, :cap] = np.asarray(arr).reshape(k, cap)
+            return out.reshape(-1)
+
+        src = grow(inputs.src, 0)
+        rel = grow(inputs.rel_ids, 0)
+        mask = grow(inputs.edge_mask, 0)
+        dst = np.full((k, cap_b), 0, dtype=np.asarray(inputs.dst).dtype)
+        dst[:, :cap] = np.asarray(inputs.dst).reshape(k, cap)
+        for j in range(k):  # pad dst rows must stay shard-owned
+            dst[j, cap:] = j * npp
+        return (
+            inputs, jnp.asarray(inputs.feats), jnp.asarray(src),
+            jnp.asarray(dst.reshape(-1)), jnp.asarray(rel),
+            jnp.asarray(mask), jnp.asarray(inputs.char_ids),
+            jnp.asarray(inputs.lengths), jnp.asarray(pos_src),
+            jnp.asarray(pos_dst), jnp.asarray(pos_mask),
+        )
+
+    def step(self, params, opt_state, rng_np: np.random.Generator, rng_jax):
+        (inputs, feats, src, dst, rel, mask, chars, lens, ps, pd,
+         pm) = self.sample_batch_sharded(rng_np)
+        npp = inputs.nodes_per_shard
+        key = (npp, src.shape[0], chars.shape[0])
+        if key not in self._dist_steps:
+            self._dist_steps[key] = make_composed_minibatch_step(
+                self.mesh, self.config, self.optimizer, npp,
+                axis=self.axis, margin=self.margin,
+            )
+        params, opt_state, loss = self._dist_steps[key](
+            params, opt_state, feats, src, dst, rel, mask, chars, lens,
+            ps, pd, pm, rng_jax,
+        )
+        return params, opt_state, loss

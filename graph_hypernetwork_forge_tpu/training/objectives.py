@@ -102,18 +102,20 @@ def _lpl_sorted_fused(num_nodes, margin, embs, src, dst, src_perm,
                       dst_splits, roll_shift, edge_mask):
     """Rolled-negative margin loss with an ANALYTIC backward.
 
-    Autodiff of the gather/roll/hinge composition assembles the two
-    ``[E, d]`` cotangent streams through several elementwise + permute
-    passes over saved ``[E, d]`` residuals (measured 33 ms backward at
-    xl, ``xl_breakdown_r4.json``). The hand-written VJP saves only
-    ``[E]`` scalars and forms each stream in ONE fused pass of direct
-    table gathers (the ``[N, d]`` table is ~1/20 the size of an ``[E, d]``
-    residual), then reduces both through the CSR dispatcher (pad-free
-    packed64 kernel at d=64):
+    The backward forms the two cotangent streams from the saved forward
+    gathers with shifted-read elementwise passes (sequential HBM traffic)
+    and exactly ONE permute gather per stream, then reduces both through
+    the CSR dispatcher (pad-free packed64 kernel at d=64):
 
         a_e       = g · mask_e · 1[hinge_e > 0] / Σ mask          ([E])
-        dembs     = Σ_src-sorted a·(T[dst∘shift] − T[dst])
-                  + Σ_dst-sorted a∘shift⁻¹·H[src∘shift⁻¹] − a·H[src]
+        dembs     = Σ_src-sorted perm_src( a·(roll(pos_t) − pos_t) )
+                  + Σ_dst-sorted perm_dst( roll⁻¹(a·pos_h) − a·pos_h )
+
+    MEASURED DEAD END (kept for the record): a gather-only backward that
+    re-reads rows straight from the [N, d] table (saving only [E] scalar
+    residuals) is 2x SLOWER (89.8 vs 41.8 ms fwd+bwd at xl) — XLA row
+    gathers run at ~50 GB/s on this backend, so 4 table gathers + index
+    compositions lose badly to sequential passes over [E, d] residuals.
 
     ``edge_mask`` receives a ZERO cotangent (graph structure, not
     differentiated). Forward numerics are identical to the reference
@@ -141,40 +143,38 @@ def _lpl_fused_fwd(num_nodes, margin, embs, src, dst, src_perm, src_sorted,
     hinge = margin - pos + neg
     denom = jnp.maximum(jnp.sum(edge_mask), 1.0)
     loss = jnp.sum(jnp.maximum(hinge, 0.0) * edge_mask) / denom
-    res = (embs, src, dst, src_perm, src_sorted, src_splits, dst_perm,
-           dst_sorted, dst_splits, roll_shift, edge_mask,
-           (hinge > 0.0), denom)
+    res = (pos_h, pos_t, src, dst, src_perm, src_sorted, src_splits,
+           dst_perm, dst_sorted, dst_splits, roll_shift, edge_mask,
+           (hinge > 0.0), denom, jnp.zeros((0,), embs.dtype))
     return loss, res
 
 
 def _lpl_fused_bwd(num_nodes, margin, res, g):
     from graph_hypernetwork_forge_tpu.ops.segment import sorted_segment_sum
 
-    (embs, src, dst, src_perm, src_sorted, src_splits, dst_perm, dst_sorted,
-     dst_splits, roll_shift, edge_mask, active, denom) = res
-    e = src.shape[0]
+    (pos_h, pos_t, src, dst, src_perm, src_sorted, src_splits, dst_perm,
+     dst_sorted, dst_splits, roll_shift, edge_mask, active, denom,
+     proto) = res
     a = (g / denom) * edge_mask * active.astype(edge_mask.dtype)  # [E]
 
-    # Stream 1 (src-sorted): dh_e = a_e · (t_{e+k} − t_e), one fused pass.
-    sp = src_perm if src_perm is not None else jnp.arange(e, dtype=src.dtype)
-    d1 = jnp.take(dst, sp, axis=0)
-    d2 = jnp.take(dst, (sp + roll_shift) % e, axis=0)
-    stream_src = jnp.take(a, sp, axis=0)[:, None] * (
-        jnp.take(embs, d2, axis=0) - jnp.take(embs, d1, axis=0)
+    # Stream 1 (src-sorted): dh_e = a_e · (t_{e+k} − t_e) — one fused
+    # shifted-read pass over the saved pos_t, then ONE permute gather.
+    t1 = a[:, None] * (jnp.roll(pos_t, -roll_shift, axis=0) - pos_t)
+    stream_src = (
+        jnp.take(t1, src_perm, axis=0, unique_indices=True)
+        if src_perm is not None else t1
     )
     # Stream 2 (dst-sorted): dt_e = a_{e−k}·h_{e−k} − a_e·h_e.
-    dp = dst_perm if dst_perm is not None else jnp.arange(e, dtype=dst.dtype)
-    ep = (dp - roll_shift) % e
-    s1 = jnp.take(src, dp, axis=0)
-    s2 = jnp.take(src, ep, axis=0)
+    t2 = a[:, None] * pos_h
+    t3 = jnp.roll(t2, roll_shift, axis=0) - t2
     stream_dst = (
-        jnp.take(a, ep, axis=0)[:, None] * jnp.take(embs, s2, axis=0)
-        - jnp.take(a, dp, axis=0)[:, None] * jnp.take(embs, s1, axis=0)
+        jnp.take(t3, dst_perm, axis=0, unique_indices=True)
+        if dst_perm is not None else t3
     )
     dembs = sorted_segment_sum(
         stream_src, src_sorted, num_nodes, src_splits
     ) + sorted_segment_sum(stream_dst, dst_sorted, num_nodes, dst_splits)
-    dembs = dembs.astype(embs.dtype)
+    dembs = dembs.astype(proto.dtype)
 
     f0 = lambda arr: _np.zeros(arr.shape, dtype=jax.dtypes.float0)
     maybe = lambda arr: None if arr is None else f0(arr)
