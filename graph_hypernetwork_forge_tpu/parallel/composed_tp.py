@@ -31,6 +31,20 @@ hypergnn.py:201-230``) and the generator output contract
 (``models/weight_generator.py:120-143``) — the model axis only re-orders
 the d_in contraction, so results match the 1D composed step to float
 tolerance (``tests/test_composed_tp.py``).
+
+**3D (edge × model × pipe) scope note.** The pipeline axis deliberately
+stays a separate program (``parallel/pipeline.py``) rather than a third
+mesh axis here: at this model family's depth (2-3 GNN layers, reference
+``models/hypergnn.py``) a pipeline stage holds roughly one layer, so a
+pipe axis would multiply bubble overhead (≥ (S-1)/M of the step at S
+stages / M microbatches) while saving memory the 2D step does not need —
+the per-device residency is dominated by EDGE-sharded ``[E/k, d]``
+streams and k_m-sharded banks, both already divided; layer params are
+KiB-scale. Pipe composition becomes worthwhile only when layer count
+grows ~10x beyond the reference family; the GPipe machinery (reverse-
+differentiable tick scan, ppermute ring) exists and is exercised by its
+own dryrun leg, so the composition is a wiring exercise deferred until a
+model family needs it, not a capability gap.
 """
 
 from __future__ import annotations
