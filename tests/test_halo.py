@@ -53,7 +53,10 @@ def _clustered_graph(rng, clusters, cluster_size, intra, inter, u):
 
 @needs_multidevice
 class TestHaloExactness:
-    @pytest.mark.parametrize("n,e", [(30, 120), (67, 400)])
+    @pytest.mark.parametrize(
+        "n,e",
+        [(30, 120), pytest.param(67, 400, marks=pytest.mark.slow)],
+    )
     def test_matches_single_device(self, n, e):
         rng = np.random.default_rng(0)
         u, d = 5, 8
@@ -230,7 +233,10 @@ class TestSkewedHaloVolume:
 class TestScheduledHalo:
     """Pod-shaped ppermute-round schedule: exactness + tight padding."""
 
-    @pytest.mark.parametrize("n,e", [(30, 120), (67, 400)])
+    @pytest.mark.parametrize(
+        "n,e",
+        [(30, 120), pytest.param(67, 400, marks=pytest.mark.slow)],
+    )
     def test_matches_single_device(self, n, e):
         from graph_hypernetwork_forge_tpu.parallel.halo import (
             build_scheduled_halo_plan,

@@ -1,6 +1,7 @@
 """Minibatch trainer: loss decreases, shapes stay bucket-stable."""
 
 import jax
+import pytest
 import numpy as np
 import optax
 
@@ -89,6 +90,7 @@ class TestDistributedMinibatchTrainer:
         dist = DistributedMinibatchTrainer(mesh, *args, spec)
         return single, dist, config, optimizer
 
+    @pytest.mark.slow
     def test_matches_single_device_on_same_batch(self):
         single, dist, config, optimizer = self._trainers()
         params = init_hypergnn(config, jax.random.PRNGKey(0))

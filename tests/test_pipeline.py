@@ -93,6 +93,7 @@ class TestPipelinedForward:
         with pytest.raises(ValueError, match="divisible"):
             pipelined_forward(mesh, config, params, feats, *arrays)
 
+    @pytest.mark.slow
     def test_gradients_flow(self, pipe_setup):
         """Reverse-mode through the pipeline == single-device gradients."""
         config, params, feats, arrays, _ = pipe_setup

@@ -140,6 +140,7 @@ class TestShardedTrainStep:
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import importlib.util
 
