@@ -283,22 +283,15 @@ def _combined_bwd(tile_e, interpret, precision, residuals, g):
     x_src, x_dst, rel_sorted, w_msg, w_self, bias, rel_splits = residuals
     u = w_msg.shape[0]
 
-    # dx_src = g @ W_msgᵀ and dx_dst = g @ W_selfᵀ: the dual-output
-    # streaming kernel with (g, g) inputs and transposed weights.
-    zeros_bias = jnp.zeros((u, w_msg.shape[1]), dtype=bias.dtype)
-    dx_src, dx_dst = _edge_transform_fwd_impl(
-        g, g, rel_sorted,
-        jnp.swapaxes(w_msg, 1, 2), jnp.swapaxes(w_self, 1, 2), zeros_bias,
+    # One fused streaming pass for all four tensor cotangents: g, x_src,
+    # x_dst each read ONCE (the unfused form read six [E, d] streams
+    # across three kernels).
+    dx_src, dx_dst, dw_msg, dw_self = _combined_bwd_fused_impl(
+        g, x_src, x_dst, rel_sorted, w_msg, w_self,
         tile_e=tile_e, interpret=interpret, precision=prec,
     )
-    dw_msg = _segment_outer_impl(
-        x_src, g, rel_sorted, u, tile_e=tile_e, interpret=interpret,
-        precision=prec,
-    ).astype(w_msg.dtype)
-    dw_self = _segment_outer_impl(
-        x_dst, g, rel_sorted, u, tile_e=tile_e, interpret=interpret,
-        precision=prec,
-    ).astype(w_self.dtype)
+    dw_msg = dw_msg.astype(w_msg.dtype)
+    dw_self = dw_self.astype(w_self.dtype)
     if rel_splits is not None:
         from graph_hypernetwork_forge_tpu.ops.segment import (
             sorted_segment_sum,
@@ -323,6 +316,127 @@ def _combined_bwd(tile_e, interpret, precision, residuals, g):
 
 
 edge_transform_sorted_combined.defvjp(_combined_fwd, _combined_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward: dx_src, dx_dst, dW_msg, dW_self in ONE streaming pass.
+#
+# The unfused backward runs three kernels — the transposed-weight dx
+# kernel (reads g twice) and two revisit-accumulate segment-outer kernels
+# (each reads g + one x stream): six [E, d] stream reads total. This
+# kernel reads g / x_src / x_dst once each (three reads, two writes) and
+# computes all four cotangents per single-relation tile; dW blocks revisit
+# VMEM across a relation's consecutive tiles exactly like
+# ``_segment_outer_impl``. dbias stays on the CSR reduce (rel_splits).
+# ---------------------------------------------------------------------------
+
+
+def _make_combined_bwd_kernel(precision):
+    def _kernel(tr_ref, first_ref, g_ref, xs_ref, xd_ref, wmt_ref, wst_ref,
+                dxs_ref, dxd_ref, dwm_ref, dws_ref):
+        t = pl.program_id(0)
+
+        @pl.when(first_ref[t] == 1)
+        def _():
+            dwm_ref[:] = jnp.zeros_like(dwm_ref)
+            dws_ref[:] = jnp.zeros_like(dws_ref)
+
+        prec = None if g_ref.dtype == jnp.bfloat16 else precision
+        dims_row = (((1,), (0,)), ((), ()))   # [E,d] @ [d,d]
+        dims_outer = (((0,), (0,)), ((), ()))  # [E,d]ᵀ contraction
+        g = g_ref[:]
+        dxs_ref[:] = jax.lax.dot_general(
+            g, wmt_ref[0], dims_row, precision=prec,
+            preferred_element_type=jnp.float32,
+        ).astype(dxs_ref.dtype)
+        dxd_ref[:] = jax.lax.dot_general(
+            g, wst_ref[0], dims_row, precision=prec,
+            preferred_element_type=jnp.float32,
+        ).astype(dxd_ref.dtype)
+        dwm_ref[0] += jax.lax.dot_general(
+            xs_ref[:], g, dims_outer, precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        dws_ref[0] += jax.lax.dot_general(
+            xd_ref[:], g, dims_outer, precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+
+    return _kernel
+
+
+def _combined_bwd_fused_impl(g, x_src, x_dst, rel_sorted, w_msg, w_self,
+                             *, tile_e=DEFAULT_TILE_E, interpret=False,
+                             precision=None):
+    """One-pass backward for the combined transform.
+
+    Returns ``(dx_src, dx_dst, dW_msg [U,d,d] f32, dW_self)``; unvisited
+    relations' dW blocks are masked to zero (their memory is undefined,
+    as in ``_segment_outer_impl``).
+    """
+    e, d_out = g.shape
+    d_in = x_src.shape[1]
+    u = w_msg.shape[0]
+    e_pad = _round_up(e, tile_e)
+    if e_pad != e:
+        g = jnp.pad(g, ((0, e_pad - e), (0, 0)))
+        x_src = jnp.pad(x_src, ((0, e_pad - e), (0, 0)))
+        x_dst = jnp.pad(x_dst, ((0, e_pad - e), (0, 0)))
+        rel_sorted = jnp.pad(rel_sorted, (0, e_pad - e), mode="edge")
+    num_tiles = e_pad // tile_e
+    tile_rel, tile_first = _tile_maps(rel_sorted, tile_e)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_e, d_out), lambda t, tr, fr: (t, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, tr, fr: (t, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, tr, fr: (t, 0)),
+            pl.BlockSpec((1, d_out, d_in), lambda t, tr, fr: (tr[t], 0, 0)),
+            pl.BlockSpec((1, d_out, d_in), lambda t, tr, fr: (tr[t], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_e, d_in), lambda t, tr, fr: (t, 0)),
+            pl.BlockSpec((tile_e, d_in), lambda t, tr, fr: (t, 0)),
+            pl.BlockSpec((1, d_in, d_out), lambda t, tr, fr: (tr[t], 0, 0)),
+            pl.BlockSpec((1, d_in, d_out), lambda t, tr, fr: (tr[t], 0, 0)),
+        ],
+    )
+    dxs, dxd, dwm, dws = pl.pallas_call(
+        _make_combined_bwd_kernel(precision),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, d_in), g.dtype),
+            jax.ShapeDtypeStruct((e_pad, d_in), g.dtype),
+            jax.ShapeDtypeStruct((u, d_in, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((u, d_in, d_out), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * e_pad * d_in * d_out,
+            bytes_accessed=(
+                3 * e_pad * d_in * g.dtype.itemsize
+                + 2 * e_pad * d_in * g.dtype.itemsize
+                + 4 * num_tiles * d_in * d_out * 4
+            ),
+            transcendentals=0,
+        ),
+    )(
+        tile_rel, tile_first, g, x_src, x_dst,
+        jnp.swapaxes(w_msg, 1, 2), jnp.swapaxes(w_self, 1, 2),
+    )
+    visited = (
+        jax.ops.segment_sum(
+            jnp.ones_like(tile_rel, dtype=jnp.float32), tile_rel,
+            num_segments=u, indices_are_sorted=True,
+        )
+        > 0
+    )[:, None, None]
+    return (
+        dxs[:e], dxd[:e],
+        jnp.where(visited, dwm, 0.0), jnp.where(visited, dws, 0.0),
+    )
 
 
 # ---------------------------------------------------------------------------
