@@ -338,6 +338,7 @@ def _take_rows_pair_bwd(num_rows, res, g):
 take_rows_pair.defvjp(_take_rows_pair_fwd, _take_rows_pair_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
 def sorted_segment_sum_by_plan(
     values: jax.Array,
     perm_to_sorted: jax.Array,
@@ -350,10 +351,32 @@ def sorted_segment_sum_by_plan(
 
     Equivalent to ``segment_sum(values, ids, num_segments)`` where
     ``ids[perm_to_sorted] == ids_sorted``; runs as one bandwidth-bound
-    gather plus one sorted-hint reduction, and its backward is gather-only
-    (the VJP of a sorted segment-sum is a gather, and :func:`permute_rows`
-    supplies a gather VJP for the re-ordering). ``splits`` as in
-    :func:`sorted_segment_sum`.
+    gather plus one sorted-hint reduction. The joint VJP is ONE table
+    gather: ``dvalues[i] = g[ids_sorted[inv_perm[i]]]`` — the naive
+    composition (sorted-take then inverse-permute) costs two ``[E, d]``
+    gather passes; composing the INDICES instead costs one ``[E]`` int
+    gather plus the single ``[E, d]`` gather.
     """
     values_sorted = permute_rows(values, perm_to_sorted, inv_perm)
     return sorted_segment_sum(values_sorted, ids_sorted, num_segments, splits)
+
+
+def _ssbp_fwd(values, perm_to_sorted, inv_perm, ids_sorted, num_segments,
+              splits=None):
+    out = sorted_segment_sum_by_plan(
+        values, perm_to_sorted, inv_perm, ids_sorted, num_segments, splits
+    )
+    proto = jnp.zeros((0,), values.dtype)
+    return out, (perm_to_sorted, inv_perm, ids_sorted, splits, proto)
+
+
+def _ssbp_bwd(num_segments, res, g):
+    perm_to_sorted, inv_perm, ids_sorted, splits, proto = res
+    idx = jnp.take(ids_sorted, inv_perm, axis=0)  # ids in caller edge order
+    dvalues = jnp.take(g, idx, axis=0).astype(proto.dtype)
+    dsplits = None if splits is None else _float0_like(splits)
+    return (dvalues, _float0_like(perm_to_sorted), _float0_like(inv_perm),
+            _float0_like(ids_sorted), dsplits)
+
+
+sorted_segment_sum_by_plan.defvjp(_ssbp_fwd, _ssbp_bwd)
