@@ -98,7 +98,10 @@ def main():
         extra = dict(kw)
         if contrib in ("pallas", "pallas_packed"):
             extra["kernel_plan"] = kplan
-        p, o = params, optimizer.init(params)
+        # Fresh params per run: the composed step does not donate, but the
+        # single-device row below does — never share buffers across runs.
+        p = init_hypergnn(config, jax.random.PRNGKey(0))
+        o = optimizer.init(p)
         r = jax.random.PRNGKey(1)
         p, o, loss = step(p, o, *arrays, r, **extra)
         float(loss)
@@ -116,20 +119,25 @@ def main():
         return ms
 
     # Single-device oracle under the IDENTICAL per-call-fetch protocol.
+    # NON-donating K=1 multi-step: per-call donation measured 1552 ms/step
+    # here (the donation layout-churn pathology CLAUDE.md documents).
+    from graph_hypernetwork_forge_tpu.training.train import make_multi_step
+
     sd_arrays = tuple(jnp.asarray(a) for a in graph.arrays)
     plan = jax.tree_util.tree_map(jnp.asarray, graph.sort_plan)
-    sd_step = make_train_step(config, optimizer, neg_mode="roll")
-    p, o = params, optimizer.init(params)
+    sd_step = make_multi_step(config, optimizer, 1, neg_mode="roll")
+    p = init_hypergnn(config, jax.random.PRNGKey(0))
+    o = optimizer.init(p)
     r = jax.random.PRNGKey(1)
-    p, o, loss = sd_step(p, o, jnp.asarray(feats), *sd_arrays, r,
-                         sort_plan=plan)
-    float(loss)
+    p, o, losses = sd_step(p, o, jnp.asarray(feats), *sd_arrays, r,
+                           sort_plan=plan)
+    np.asarray(losses)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         r, sr = jax.random.split(r)
-        p, o, loss = sd_step(p, o, jnp.asarray(feats), *sd_arrays, sr,
-                             sort_plan=plan)
-        float(loss)
+        p, o, losses = sd_step(p, o, jnp.asarray(feats), *sd_arrays, sr,
+                               sort_plan=plan)
+        np.asarray(losses)
     sd_ms = 1e3 * (time.perf_counter() - t0) / STEPS
     emit({"config": "single-device-xl", "backend": "auto(pallas_packed)",
           "ms_per_step_with_rtt": round(sd_ms, 3)})
