@@ -414,9 +414,10 @@ def resolve_backend(
     - ``pallas`` on TPU rel-sorted group-padded layouts at d % 128 == 0
       (streaming kernel measured 1.4-1.7x over ragged_dot);
     - ``pallas_packed`` on TPU rel-sorted group-padded d=64 layouts with a
-      SortPlan at >= 65k rows (pair-packed rows through the same kernel —
-      measured: xl 191 vs 287 ms, large 16.7 vs 36.3; below the row gate
-      ragged wins, 3.9 vs 8.0 ms at bench config).
+      SortPlan at >= 16,384 rows (pair-packed rows through the same
+      kernel — measured crossover sweep packed_crossover_r5.json; xl 191
+      vs 287 ms in r4, packed wins 16k-65k, parity band 131k-524k; below
+      the gate ragged wins, 3.9 vs 8.0 ms at bench config E=10k).
     """
     chosen = _pick_backend(
         backend, num_nodes, num_rel, num_edges, d_out, rel_sorted=rel_sorted
@@ -440,11 +441,16 @@ def resolve_backend(
         and platform == "tpu"
         and d_in == 64
         and d_out == 64
-        and num_edges >= 65_536
+        and num_edges >= 16_384
     ):
         # d=64 never reaches the 128-lane Mosaic kernel directly (sub-lane
         # blocks wedge this stack's compiler) and ragged_dot is measured
-        # far off its d=128 efficiency.
+        # far off its d=128 efficiency. Gate from the measured crossover
+        # (benchmarks/results/packed_crossover_r5.json): packed wins from
+        # E=16k (4.77 vs 5.32 ms) through 65k (5.17 vs 9.16) and at xl;
+        # between 131k-524k the two are within the chip's ±10% band. The
+        # r4 gate (65_536) rested on two points; below 16k the bench-
+        # config measurement keeps ragged (3.9 vs 8.0 ms at E=10k).
         chosen = "pallas_packed"
     return chosen
 

@@ -309,9 +309,13 @@ class TestResolveBackend:
         assert resolve_backend(
             "auto", 50_000, 237, 1_048_576, 128, 128, **base
         ) == "pallas"
-        # Below the row gate: ragged wins (measured 3.9 vs 8.0 ms).
+        # Below the measured crossover (packed_crossover_r5.json: packed
+        # wins from E=16,384): ragged keeps the bench-config regime.
         assert resolve_backend(
             "auto", 1_000, 50, 16_384, 64, 64, **base
+        ) == "pallas_packed"
+        assert resolve_backend(
+            "auto", 1_000, 50, 10_240, 64, 64, **base
         ) == "grouped"
         # Each missing precondition falls back to grouped.
         for missing in (
