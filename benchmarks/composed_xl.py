@@ -89,6 +89,33 @@ def main():
     )
     kplan = tuple(jnp.asarray(a) for a in inputs.kernel_plan)
 
+    def trace_composed(contrib, step, extra):
+        # Device-time via profiler trace: the per-call tunnel dispatch
+        # measured 1.6-1.8 s/call during this session (state-dependent),
+        # swamping wall-clock rows — the trace shows what the CHIP does.
+        import sys as _sys
+        import tempfile
+
+        _sys.path.insert(0, "benchmarks")
+        from step_profile import trace_device_summary
+
+        p = init_hypergnn(config, jax.random.PRNGKey(0))
+        o = optimizer.init(p)
+        tdir = tempfile.mkdtemp(prefix="ghf_composed_trace_")
+        r = jax.random.PRNGKey(3)
+        with jax.profiler.trace(tdir):
+            p, o, loss = step(p, o, *arrays, r, **extra)
+            float(loss)
+        summary = trace_device_summary(tdir, 1)
+        if summary is not None:
+            emit({
+                "config": "composed-xl-1dev-trace", "contrib": contrib,
+                "device_total_ms_per_step":
+                    summary["device_total_ms_per_step"],
+                "categories_ms_per_step":
+                    summary["categories_ms_per_step"],
+            })
+
     def run_composed(contrib):
         step = make_composed_train_step(
             mesh, config, optimizer, inputs.nodes_per_shard,
@@ -116,6 +143,7 @@ def main():
             "ms_per_step_with_rtt": round(ms, 3),
             "loss": round(float(loss), 4),
         })
+        trace_composed(contrib, step, extra)
         return ms
 
     # Single-device oracle under the IDENTICAL per-call-fetch protocol.

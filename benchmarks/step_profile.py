@@ -67,6 +67,75 @@ def categorize(name: str) -> str:
     return "other"
 
 
+def trace_device_summary(tdir, steps):
+    """Parse a jax.profiler trace dir → per-step device-time attribution.
+
+    Returns ``{"device_total_ms_per_step", "categories_ms_per_step",
+    "top_op_types_ms_per_step"}`` or None if no xplane was written. Device
+    rows only, IDLE excluded; ``steps`` normalizes a multi-step trace.
+    """
+    xplanes = glob.glob(
+        os.path.join(tdir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not xplanes:
+        return None
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        xplanes, "framework_op_stats", {"tqx": "out:json"}
+    )
+    if isinstance(data, bytes):
+        data = data.decode()
+    stats = json.loads(data)
+    tbl = stats[0] if isinstance(stats, list) else stats
+    cols = [c.get("label", c.get("id", "")) for c in tbl["cols"]]
+
+    def col(label_sub):
+        for i, c in enumerate(cols):
+            if label_sub.lower() in str(c).lower():
+                return i
+        return None
+
+    i_dev = col("host/device")
+    i_type = col("operation type")
+    i_name = col("operation name")
+    i_self = col("total self-time (us)")
+    cat_us, op_us, total_us = {}, {}, 0.0
+
+    def val(c, i):
+        v = c[i]
+        return v.get("v") if isinstance(v, dict) else v
+
+    for row in tbl["rows"]:
+        c = row["c"]
+        if str(val(c, i_dev)) != "Device":
+            continue
+        tname = str(val(c, i_type))
+        name = str(val(c, i_name))
+        if tname == "IDLE":
+            continue
+        try:
+            self_us = float(val(c, i_self))
+        except (TypeError, ValueError):
+            continue
+        total_us += self_us
+        cat = categorize(tname + " " + name)
+        cat_us[cat] = cat_us.get(cat, 0.0) + self_us
+        key = f"{tname}:{name[:60]}"
+        op_us[key] = op_us.get(key, 0.0) + self_us
+    return {
+        "device_total_ms_per_step": round(total_us / 1e3 / steps, 3),
+        "categories_ms_per_step": {
+            k: round(v / 1e3 / steps, 3)
+            for k, v in sorted(cat_us.items(), key=lambda kv: -kv[1])
+        },
+        "top_op_types_ms_per_step": {
+            k: round(v / 1e3 / steps, 3)
+            for k, v in sorted(op_us.items(), key=lambda kv: -kv[1])[:15]
+        },
+    }
+
+
 def main():
     d = 64
     if "--d" in sys.argv:
@@ -113,78 +182,16 @@ def main():
         _, _, losses = mstep(params, o, feats, *arrays, sr, sort_plan=plan)
         np.asarray(losses)
 
-    xplanes = glob.glob(
-        os.path.join(tdir, "**", "*.xplane.pb"), recursive=True
-    )
-    if not xplanes:
+    summary = trace_device_summary(tdir, K)
+    if summary is None:
         emit({"error": "no xplane found", "dir": tdir})
         return
-    from xprof.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", {"tqx": "out:json"}
-    )
-    if isinstance(data, bytes):
-        data = data.decode()
-    stats = json.loads(data)
-    # framework_op_stats emits a LIST of gviz tables; rows mix Host and
-    # Device entries — keep Device, drop IDLE.
-    tbl = stats[0] if isinstance(stats, list) else stats
-    cols = [c.get("label", c.get("id", "")) for c in tbl["cols"]]
-
-    def col(label_sub):
-        for i, c in enumerate(cols):
-            if label_sub.lower() in str(c).lower():
-                return i
-        return None
-
-    i_dev = col("host/device")
-    i_type = col("operation type")
-    i_name = col("operation name")
-    i_self = col("total self-time (us)")
-    cat_us = {}
-    op_us = {}
-    total_us = 0.0
-
-    def val(c, i):
-        v = c[i]
-        return v.get("v") if isinstance(v, dict) else v
-
-    for row in tbl["rows"]:
-        c = row["c"]
-        if str(val(c, i_dev)) != "Device":
-            continue
-        tname = str(val(c, i_type))
-        name = str(val(c, i_name))
-        if tname == "IDLE":
-            continue
-        try:
-            self_us = float(val(c, i_self))
-        except (TypeError, ValueError):
-            continue
-        total_us += self_us
-        cat = categorize(tname + " " + name)
-        cat_us[cat] = cat_us.get(cat, 0.0) + self_us
-        key = f"{tname}:{name[:60]}"
-        op_us[key] = op_us.get(key, 0.0) + self_us
-    # The trace covers K fused steps; normalize to per-step ms.
-    per_step = {
-        k: round(v / 1e3 / K, 3)
-        for k, v in sorted(cat_us.items(), key=lambda kv: -kv[1])
-    }
-    top_ops = {
-        k: round(v / 1e3 / K, 3)
-        for k, v in sorted(op_us.items(), key=lambda kv: -kv[1])[:15]
-    }
-    device_total_ms = total_us / 1e3 / K
+    device_total_ms = summary["device_total_ms_per_step"]
     emit({
         "stage": f"trace_attribution_d{d}",
-        "device_total_ms_per_step": round(device_total_ms, 3),
         "wall_ms_per_step": round(wall_ms, 3),
         "coverage_vs_wall": round(device_total_ms / wall_ms, 3),
-        "categories_ms_per_step": per_step,
-        "top_op_types_ms_per_step": top_ops,
-        "columns": cols,
+        **summary,
     })
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
