@@ -91,9 +91,11 @@ def main():
         t0 = time.perf_counter()
         batch = trainer.sample_batch_sharded(rng_np)
         sample_s += time.perf_counter() - t0
-        (inputs, *arrs) = batch
+        (inputs, feats_b, src_b, dst_b, rel_b, mask_b, chars_b, lens_b,
+         ps, pd, pm, gs) = batch
         npp = inputs.nodes_per_shard
-        skey = (npp, arrs[1].shape[0], arrs[5].shape[0])
+        contrib = trainer._pick_contrib(feats_b.shape[0], chars_b.shape[0])
+        skey = (npp, src_b.shape[0], chars_b.shape[0], contrib)
         t0 = time.perf_counter()
         if skey not in trainer._dist_steps:
             from graph_hypernetwork_forge_tpu.training.minibatch import (
@@ -101,10 +103,11 @@ def main():
             )
 
             trainer._dist_steps[skey] = make_composed_minibatch_step(
-                mesh, config, optimizer, npp,
+                mesh, config, optimizer, npp, contrib=contrib,
             )
         params, opt_state, loss = trainer._dist_steps[skey](
-            params, opt_state, *arrs, sk
+            params, opt_state, feats_b, src_b, dst_b, rel_b, mask_b,
+            chars_b, lens_b, ps, pd, pm, sk, rel_group_sizes=gs,
         )
         losses.append(float(loss))  # host fetch = true sync
         step_s += time.perf_counter() - t0
@@ -121,6 +124,7 @@ def main():
         "steps_per_s_end_to_end": round(steps / (sample_s + step_s), 2),
         "final_loss": round(float(np.mean(losses[-5:])), 4),
         "n_compiled_buckets": len(trainer._dist_steps),
+        "contrib": contrib,
     }
     print(json.dumps(out), flush=True)
     if "--out" in sys.argv:

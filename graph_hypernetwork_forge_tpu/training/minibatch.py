@@ -166,6 +166,7 @@ def make_composed_minibatch_step(
     *,
     axis: str = "edge",
     margin: float = 1.0,
+    contrib: str = "dense",
 ):
     """Jitted edge-sharded minibatch train step.
 
@@ -176,6 +177,13 @@ def make_composed_minibatch_step(
     pairs are sharded over ``axis`` too; negatives are drawn REPLICATED
     from the step rng (identical draw to the single-device
     :class:`MinibatchTrainer`, so losses/params match it exactly).
+
+    ``contrib="grouped"`` runs the relation-grouped ``ragged_dot`` per
+    shard instead of the dense all-relations product — REQUIRED at large
+    U·n_sub (the dense ``[2U, n_sub, d]`` intermediate is ~24 GB at
+    U=237 × a 200k-node subgraph and crashes compilation); needs
+    ``rel_group_sizes`` from ``prepare_composed_inputs(rel_sort_local=
+    True)`` passed as the step's extra trailing argument.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -201,13 +209,14 @@ def make_composed_minibatch_step(
             P(axis, None),  # feats: node-range sharded
             P(axis), P(axis), P(axis), P(axis),  # subgraph edges
             P(axis, None), P(axis),              # relations sharded
+            P(axis, None),                       # ragged group sizes
             P(axis), P(axis), P(axis), P(axis),  # pos pairs + negatives
         ),
         out_specs=P(),
         check_vma=False,
     )
     def _loss(params, feats_l, src_l, dst_l, rel_l, mask_l, chars_l, lens_l,
-              ps_l, pd_l, pm_l, nd_l):
+              gs_l, ps_l, pd_l, pm_l, nd_l):
         my_idx = jax.lax.axis_index(axis)
         h_local = jax.nn.relu(
             linear_apply(params["input_proj"], feats_l, precision=prec)
@@ -228,14 +237,29 @@ def make_composed_minibatch_step(
                 for kk, v in local_w.items()
             }
             h_full = jax.lax.all_gather(h_local, axis, tiled=True)
-            hw = jnp.einsum(
-                "nd,udo->uno", h_full,
-                jnp.concatenate([w["W_msg"], w["W_self"]]),
-                precision=prec,
-            )
-            u = w["W_msg"].shape[0]
-            msg = (hw[rel_l, src_l] + w["bias"][rel_l]) * mask_l[:, None]
-            selfc = hw[rel_l + u, dst_l] * mask_l[:, None]
+            if contrib == "grouped":
+                from graph_hypernetwork_forge_tpu.ops.message_passing import (
+                    _ragged_transform,
+                )
+
+                gs = gs_l[0]
+                msg = (
+                    _ragged_transform(h_full[src_l], w["W_msg"], gs, prec)
+                    + w["bias"][rel_l]
+                ) * mask_l[:, None]
+                selfc = (
+                    _ragged_transform(h_full[dst_l], w["W_self"], gs, prec)
+                    * mask_l[:, None]
+                )
+            else:
+                hw = jnp.einsum(
+                    "nd,udo->uno", h_full,
+                    jnp.concatenate([w["W_msg"], w["W_self"]]),
+                    precision=prec,
+                )
+                u = w["W_msg"].shape[0]
+                msg = (hw[rel_l, src_l] + w["bias"][rel_l]) * mask_l[:, None]
+                selfc = hw[rel_l + u, dst_l] * mask_l[:, None]
             agg = jax.ops.segment_sum(
                 msg, local_dst, num_segments=nodes_per_shard
             )
@@ -260,17 +284,22 @@ def make_composed_minibatch_step(
 
     @jax.jit
     def step(params, opt_state, feats, src, dst, rel, mask, chars, lens,
-             pos_src, pos_dst, pos_mask, rng):
+             pos_src, pos_dst, pos_mask, rng, rel_group_sizes=None):
         # Same replicated draw as MinibatchTrainer's step — bit-identical
         # negatives given the same rng.
         neg_dst = jax.random.randint(
             rng, pos_src.shape, 0, feats.shape[0], dtype=pos_src.dtype
         )
+        if rel_group_sizes is None:
+            if contrib == "grouped":
+                raise ValueError("contrib='grouped' needs rel_group_sizes")
+            k = mesh.shape[axis]
+            rel_group_sizes = jnp.zeros((k, 1), dtype=jnp.int32)  # inert
 
         def loss_fn(p):
             return _loss(
                 p, feats, src, dst, rel, mask, chars, lens,
-                pos_src, pos_dst, pos_mask, neg_dst,
+                rel_group_sizes, pos_src, pos_dst, pos_mask, neg_dst,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -336,11 +365,17 @@ class DistributedMinibatchTrainer(MinibatchTrainer):
         # count-clamped to zero output, and the negative-sampling range
         # matches MinibatchTrainer exactly).
         graph = dataclasses.replace(graph, num_nodes=feats.shape[0])
-        inputs = prepare_composed_inputs(graph, feats, k, halo=False)
-        # Ladder-pad the per-shard edge cap for shape stability.
+        inputs = prepare_composed_inputs(
+            graph, feats, k, halo=False, rel_sort_local=True
+        )
+        # Ladder-pad the per-shard edge cap for shape stability. Pad rows
+        # carry the LAST relation id so each shard's slice stays
+        # relation-sorted with contiguous groups (the grouped ragged
+        # contract); they are masked.
         cap = inputs.src.shape[0] // k
         cap_b = round_up_to_multiple(cap, self.cap_multiple)
         npp = inputs.nodes_per_shard
+        u_pad = inputs.char_ids.shape[0]
 
         def grow(arr, fill):
             out = np.full((k, cap_b), fill, dtype=np.asarray(arr).dtype)
@@ -348,8 +383,10 @@ class DistributedMinibatchTrainer(MinibatchTrainer):
             return out.reshape(-1)
 
         src = grow(inputs.src, 0)
-        rel = grow(inputs.rel_ids, 0)
+        rel = grow(inputs.rel_ids, u_pad - 1)
         mask = grow(inputs.edge_mask, 0)
+        gs = np.array(inputs.rel_group_sizes, dtype=np.int32)
+        gs[:, -1] += cap_b - cap
         dst = np.full((k, cap_b), 0, dtype=np.asarray(inputs.dst).dtype)
         dst[:, :cap] = np.asarray(inputs.dst).reshape(k, cap)
         for j in range(k):  # pad dst rows must stay shard-owned
@@ -359,21 +396,34 @@ class DistributedMinibatchTrainer(MinibatchTrainer):
             jnp.asarray(dst.reshape(-1)), jnp.asarray(rel),
             jnp.asarray(mask), jnp.asarray(inputs.char_ids),
             jnp.asarray(inputs.lengths), jnp.asarray(pos_src),
-            jnp.asarray(pos_dst), jnp.asarray(pos_mask),
+            jnp.asarray(pos_dst), jnp.asarray(pos_mask), jnp.asarray(gs),
         )
 
+    def _pick_contrib(self, n_pad: int, u_pad: int) -> str:
+        # Same memory-regime logic as the single-device auto backend: the
+        # dense [2U, n_sub, d] product blows up at large U·n_sub (24 GB at
+        # U=237 x 200k nodes — crashes compilation); grouped ragged_dot is
+        # O(E·d²) there.
+        from graph_hypernetwork_forge_tpu.ops.message_passing import (
+            _DENSE_BUDGET_ELEMENTS,
+        )
+
+        dense_elems = 2 * u_pad * n_pad * self.config.hidden_dim
+        return "dense" if dense_elems <= _DENSE_BUDGET_ELEMENTS else "grouped"
+
     def step(self, params, opt_state, rng_np: np.random.Generator, rng_jax):
-        (inputs, feats, src, dst, rel, mask, chars, lens, ps, pd,
-         pm) = self.sample_batch_sharded(rng_np)
+        (inputs, feats, src, dst, rel, mask, chars, lens, ps, pd, pm,
+         gs) = self.sample_batch_sharded(rng_np)
         npp = inputs.nodes_per_shard
-        key = (npp, src.shape[0], chars.shape[0])
+        contrib = self._pick_contrib(feats.shape[0], chars.shape[0])
+        key = (npp, src.shape[0], chars.shape[0], contrib)
         if key not in self._dist_steps:
             self._dist_steps[key] = make_composed_minibatch_step(
                 self.mesh, self.config, self.optimizer, npp,
-                axis=self.axis, margin=self.margin,
+                axis=self.axis, margin=self.margin, contrib=contrib,
             )
         params, opt_state, loss = self._dist_steps[key](
             params, opt_state, feats, src, dst, rel, mask, chars, lens,
-            ps, pd, pm, rng_jax,
+            ps, pd, pm, rng_jax, rel_group_sizes=gs,
         )
         return params, opt_state, loss

@@ -148,3 +148,41 @@ class TestDistributedMinibatchTrainer:
                 kg.edge_texts, kg.node_features,
                 MinibatchSpec(batch_size=30),
             )
+
+    def test_grouped_contrib_matches_dense(self):
+        """contrib='grouped' (the large-U·n_sub regime the dense product
+        cannot compile at) == dense on the same sharded batch."""
+        import optax
+
+        from graph_hypernetwork_forge_tpu.training.minibatch import (
+            make_composed_minibatch_step,
+        )
+
+        _, dist, config, optimizer = self._trainers(k=2, seed=5)
+        batch = dist.sample_batch_sharded(np.random.default_rng(11))
+        (inputs, feats, src, dst, rel, mask, chars, lens, ps, pd, pm,
+         gs) = batch
+        params = init_hypergnn(config, jax.random.PRNGKey(0))
+        opt_state = optimizer.init(params)
+        rng = jax.random.PRNGKey(9)
+        outs = {}
+        for contrib in ("dense", "grouped"):
+            step = make_composed_minibatch_step(
+                dist.mesh, config, optimizer, inputs.nodes_per_shard,
+                contrib=contrib,
+            )
+            p2, _, loss = step(
+                params, opt_state, feats, src, dst, rel, mask, chars,
+                lens, ps, pd, pm, rng, rel_group_sizes=gs,
+            )
+            outs[contrib] = (p2, float(loss))
+        np.testing.assert_allclose(
+            outs["grouped"][1], outs["dense"][1], atol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs["grouped"][0]),
+            jax.tree_util.tree_leaves(outs["dense"][0]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5
+            )
