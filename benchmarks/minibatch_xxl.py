@@ -70,7 +70,8 @@ def main():
     trainer = DistributedMinibatchTrainer(
         mesh, config, optimizer, ei, etexts, feats,
         MinibatchSpec(batch_size=1024, fanouts=(10, 10),
-                      node_bucket_multiple=4096),
+                      node_bucket_multiple=32_768),
+        cap_multiple=8192,
     )
     csr_s = time.perf_counter() - t0
 

@@ -48,7 +48,8 @@ def emit(obj):
 
 def categorize(name: str) -> str:
     n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
+    if ("custom-call" in n or "tpu_custom_call" in n or "mosaic" in n
+            or "pallas" in n):
         return "pallas_kernels"
     if "gather" in n:
         return "gathers"
