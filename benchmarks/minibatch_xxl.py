@@ -112,8 +112,28 @@ def main():
         )
         losses.append(float(loss))  # host fetch = true sync
         step_s += time.perf_counter() - t0
+    # Device-time via profiler trace: per-call dispatch overhead on this
+    # tunneled stack drifted to seconds/call during this session — the
+    # trace shows what the chip actually does for one step.
+    import tempfile
+
+    sys.path.insert(0, "benchmarks")
+    from step_profile import trace_device_summary
+
+    tdir = tempfile.mkdtemp(prefix="ghf_mb_trace_")
+    key, sk = jax.random.split(key)
+    with jax.profiler.trace(tdir):
+        params, opt_state, loss = trainer._dist_steps[skey](
+            params, opt_state, feats_b, src_b, dst_b, rel_b, mask_b,
+            chars_b, lens_b, ps, pd, pm, sk, rel_group_sizes=gs,
+        )
+        float(loss)
+    summary = trace_device_summary(tdir, 1) or {}
+
     out = {
         "config": "xxl-minibatch",
+        "device_trace_ms_per_step": summary.get("device_total_ms_per_step"),
+        "device_trace_categories": summary.get("categories_ms_per_step"),
         "N": N, "E": E, "U": U, "d": D,
         "batch_size": 1024, "fanouts": [10, 10],
         "mesh": list(mesh.shape.values()),
@@ -121,7 +141,8 @@ def main():
         "sampler_csr_s": round(csr_s, 1),
         "steps": steps,
         "host_sampling_ms_per_step": round(1e3 * sample_s / steps, 1),
-        "device_step_ms": round(1e3 * step_s / steps, 1),
+        "per_call_wall_ms": round(1e3 * step_s / steps, 1),
+        "per_call_note": "includes the session-state-dependent seconds-scale dispatch overhead (CLAUDE.md); device_trace_ms_per_step is the chip time",
         "steps_per_s_end_to_end": round(steps / (sample_s + step_s), 2),
         "final_loss": round(float(np.mean(losses[-5:])), 4),
         "n_compiled_buckets": len(trainer._dist_steps),
